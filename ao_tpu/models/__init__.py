@@ -1,0 +1,15 @@
+from .builder import MODELS, MODULES
+from .losses import LOSSES, Criteria, build_criteria
+from . import default  # noqa: F401
+from .point_transformer_v2 import ptv2m2  # noqa: F401
+
+
+def build_model(cfg):
+    """Build a model from config, constructing nested ``backbone`` configs
+    into module instances first (linen adopts passed-in submodules)."""
+    if isinstance(cfg, dict) and isinstance(cfg.get("backbone"), dict):
+        cfg = dict(cfg)
+        cfg["backbone"] = build_model(cfg["backbone"])
+    cfg = dict(cfg)
+    cfg.pop("criteria", None)  # criteria is built separately by the engine
+    return MODELS.build(cfg)

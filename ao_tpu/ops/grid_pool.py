@@ -26,11 +26,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _grid_pool_single(coord, feat, mask, grid_size, max_clusters):
     N = coord.shape[0]
-    big = jnp.float32(1e30)
+    big = np.float32(1e30)  # numpy: eager jnp constants stall nested-jit lowering
     # Per-scene min over valid points (reference: segment_csr(coord, reduce="min")).
     start = jnp.min(jnp.where(mask[:, None], coord, big), axis=0)  # (3,)
     d = jnp.floor((coord - start[None, :]) / grid_size).astype(jnp.int32)  # (N, 3)
@@ -43,13 +44,13 @@ def _grid_pool_single(coord, feat, mask, grid_size, max_clusters):
     key_sorted = key[order]
     mask_sorted = mask[order]
     new_cluster = jnp.concatenate(
-        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]]
+        [jnp.asarray(np.ones((1,), bool)), key_sorted[1:] != key_sorted[:-1]]
     )
     new_cluster = new_cluster & mask_sorted
     cid_sorted = jnp.cumsum(new_cluster.astype(jnp.int32)) - 1  # (N,)
     n_clusters = jnp.max(jnp.where(mask_sorted, cid_sorted, -1)) + 1
     # Scatter cluster ids back to original point order.
-    cluster = jnp.zeros((N,), jnp.int32).at[order].set(cid_sorted)
+    cluster = jnp.asarray(np.zeros((N,), np.int32)).at[order].set(cid_sorted)
     # Overflow beyond the static cap attaches to the last cluster (rare; the
     # cap should be sized per stage) — still in-range for unpool gathers.
     cluster = jnp.minimum(cluster, max_clusters - 1)
@@ -57,7 +58,7 @@ def _grid_pool_single(coord, feat, mask, grid_size, max_clusters):
 
     seg_ids = jnp.where(mask, cluster, max_clusters)  # invalid -> dropped bucket
     counts = jax.ops.segment_sum(
-        jnp.where(mask, 1.0, 0.0), seg_ids, num_segments=max_clusters + 1
+        jnp.where(mask, np.float32(1), np.float32(0)), seg_ids, num_segments=max_clusters + 1
     )[:max_clusters]
     coord_sum = jax.ops.segment_sum(
         jnp.where(mask[:, None], coord, 0.0), seg_ids, num_segments=max_clusters + 1

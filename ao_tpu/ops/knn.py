@@ -22,9 +22,11 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_BIG = jnp.float32(1e30)
+# numpy (not jnp) so nested-jit lowering embeds it without a device sync
+_BIG = np.float32(1e30)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -72,13 +74,13 @@ def _knn_single(
             return (-neg_top, new_i), None
 
         init = (
-            jnp.full((tile_q, k), _BIG, jnp.float32),
-            jnp.zeros((tile_q, k), jnp.int32),
+            jnp.asarray(np.full((tile_q, k), _BIG, np.float32)),
+            jnp.asarray(np.zeros((tile_q, k), np.int32)),
         )
-        (best_d, best_i), _ = lax.scan(k_tile, init, jnp.arange(num_k_tiles))
+        (best_d, best_i), _ = lax.scan(k_tile, init, np.arange(num_k_tiles))
         return best_d, best_i
 
-    d, i = lax.map(q_tile, jnp.arange(num_q_tiles))  # (nq, tq, k)
+    d, i = lax.map(q_tile, np.arange(num_q_tiles))  # (nq, tq, k)
     return d.reshape(M, k), i.reshape(M, k)
 
 
@@ -120,7 +122,7 @@ def knn(
     qp = jnp.pad(query_coord, ((0, 0), (0, Mp - M), (0, 0)))
     kp = jnp.pad(key_coord, ((0, 0), (0, Np - N), (0, 0)))
     penalty = jnp.where(
-        jnp.pad(key_mask, ((0, 0), (0, Np - N))), jnp.float32(0), _BIG
+        jnp.pad(key_mask, ((0, 0), (0, Np - N))), np.float32(0), _BIG
     )
 
     d2, idx = jax.vmap(

@@ -27,9 +27,11 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_BIG = jnp.float32(1e30)
+# numpy (not jnp): eager jnp constants stall nested-jit lowering
+_BIG = np.float32(1e30)
 # Irrational-ish origin shifts (fractions of scene extent) per probe.
 _PROBE_SHIFTS = (0.0, 0.331, 0.613, 0.459)
 
@@ -50,7 +52,7 @@ def morton_code(
     """30-bit Z-order codes from bbox-normalised coords, with the grid
     origin shifted by ``shift`` x extent (multi-probe de-correlation).
     Invalid points get the max code so they sort last."""
-    big = jnp.float32(1e30)
+    big = np.float32(1e30)
     lo = jnp.min(jnp.where(mask[:, None], coord, big), axis=0)
     hi = jnp.max(jnp.where(mask[:, None], coord, -big), axis=0)
     ext = jnp.maximum(hi - lo, 1e-6)
@@ -78,7 +80,7 @@ def _window_probe(
     order = jnp.argsort(code)
     c_sorted = jnp.pad(coord[order], ((0, Np - N), (0, 0)))
     pen = jnp.pad(
-        jnp.where(mask[order], jnp.float32(0), _BIG), (0, Np - N),
+        jnp.where(mask[order], np.float32(0), _BIG), (0, Np - N),
         constant_values=_BIG,
     )
     k2 = jnp.sum(c_sorted * c_sorted, axis=-1) + pen
@@ -98,14 +100,16 @@ def _window_probe(
         neg_d, pos = lax.top_k(-s, k)
         return -neg_d + q2t[:, None], (ws + pos).astype(jnp.int32)
 
-    d2, idx_pos = lax.map(q_tile, jnp.arange(Np // tile_q))
+    d2, idx_pos = lax.map(q_tile, np.arange(Np // tile_q))
     d2 = d2.reshape(Np, k)[:N]
     idx_pos = idx_pos.reshape(Np, k)[:N]
     order_pad = jnp.pad(order, (0, Np - N))
     idx_orig = order_pad[idx_pos]
     # Scatter rows back to original query order.
-    out_idx = jnp.zeros((N, k), jnp.int32).at[order].set(idx_orig.astype(jnp.int32))
-    out_d2 = jnp.full((N, k), _BIG).at[order].set(d2)
+    out_idx = jnp.asarray(np.zeros((N, k), np.int32)).at[order].set(
+        idx_orig.astype(jnp.int32)
+    )
+    out_d2 = jnp.asarray(np.full((N, k), _BIG, np.float32)).at[order].set(d2)
     return out_d2, out_idx
 
 

@@ -15,12 +15,13 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
 def _fps_single(coord, mask, m, start_idx):
     N = coord.shape[0]
-    neg = jnp.float32(-1e30)
+    neg = np.float32(-1e30)  # numpy: eager jnp constants stall nested-jit lowering
 
     def body(i, state):
         min_d2, selected = state
@@ -32,12 +33,12 @@ def _fps_single(coord, mask, m, start_idx):
         nxt = jnp.argmax(scores).astype(jnp.int32)
         return min_d2, selected.at[i].set(nxt)
 
-    selected = jnp.zeros((m,), jnp.int32).at[0].set(start_idx)
-    init_d2 = jnp.full((N,), jnp.float32(1e30))
+    selected = jnp.asarray(np.zeros((m,), np.int32)).at[0].set(start_idx)
+    init_d2 = jnp.asarray(np.full((N,), 1e30, np.float32))
     _, selected = lax.fori_loop(1, m, body, (init_d2, selected))
     # Validity: the i-th sample is meaningful only while i < n_valid.
     n_valid = jnp.sum(mask.astype(jnp.int32))
-    valid = jnp.arange(m) < n_valid
+    valid = np.arange(m) < n_valid
     return jnp.where(valid, selected, 0), valid
 
 
@@ -54,5 +55,5 @@ def farthest_point_sampling(
     if mask is None:
         mask = jnp.ones((B, N), bool)
     coord = lax.stop_gradient(coord.astype(jnp.float32))
-    start = jnp.full((B,), start_idx, jnp.int32)
+    start = jnp.asarray(np.full((B,), start_idx, np.int32))
     return jax.vmap(lambda c, mk, s: _fps_single(c, mk, m, s))(coord, mask, start)

@@ -24,9 +24,13 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, state: Any, meta: Optional[Dict] = None):
-    """Atomically write {meta, state} to ``path``."""
+    """Atomically write {meta, state} to ``path``. Arbitrary pytrees
+    (flax struct dataclasses, optax states) go through to_state_dict."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    payload = {"meta": dict(meta or {}), "state": _to_host(state)}
+    payload = {
+        "meta": dict(meta or {}),
+        "state": _to_host(serialization.to_state_dict(state)),
+    }
     data = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -45,10 +49,7 @@ def load_checkpoint(path: str, target_state: Any = None):
     meta = payload.get("meta", {})
     raw_state = payload.get("state", payload)
     if target_state is not None:
-        state = serialization.from_state_dict(
-            target_state, serialization.to_state_dict(raw_state)
-            if not isinstance(raw_state, dict) else raw_state
-        )
+        state = serialization.from_state_dict(target_state, raw_state)
         return state, meta
     return raw_state, meta
 

