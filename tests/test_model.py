@@ -239,3 +239,58 @@ class TestLosses:
         b = float(c2(jnp.asarray(logits), jnp.asarray(target)))
         ab = float(both(jnp.asarray(logits), jnp.asarray(target)))
         assert abs(ab - (a + b)) < 1e-5
+
+
+class TestPTv1:
+    def test_seg_forward(self, rng):
+        from ao_tpu.models import build_model
+
+        coord, feat, mask = make_batch(rng, B=1, N=512)
+        model = build_model(
+            dict(
+                type="DefaultSegmentor",
+                backbone=dict(
+                    type="PointTransformer-Seg26", in_channels=6, num_classes=13
+                ),
+            )
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
+        assert logits.shape == (1, 512, 13)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_cls_forward(self, rng):
+        from ao_tpu.models import build_model
+
+        coord, feat, mask = make_batch(rng, B=2, N=512)
+        model = build_model(
+            dict(
+                type="DefaultSegmentor",
+                backbone=dict(
+                    type="PointTransformer-Cls26", in_channels=6, num_classes=40
+                ),
+            )
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
+        assert logits.shape == (2, 40)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_seg_masked(self, rng):
+        from ao_tpu.models import build_model
+
+        coord, feat, mask = make_batch(rng, B=1, N=512)
+        mask = np.array(mask)
+        mask[:, 384:] = False
+        mask = jnp.asarray(mask)
+        model = build_model(
+            dict(
+                type="DefaultSegmentor",
+                backbone=dict(
+                    type="PointTransformer-Seg26", in_channels=6, num_classes=13
+                ),
+            )
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(logits)).all()

@@ -308,3 +308,59 @@ class TestSpatialKNN:
         c = coord[0]
         ref = np.sqrt(((c[np.asarray(idx[0])] - c[:, None, :]) ** 2).sum(-1))
         np.testing.assert_allclose(np.asarray(dist[0]), ref, rtol=1e-5, atol=1e-5)
+
+
+class TestCrossSpatialKNN:
+    def test_recall_vs_exact(self, rng):
+        from ao_tpu.ops import knn_cross_spatial
+
+        kq = rng.uniform(0, 5, size=(1, 2000, 3)).astype(np.float32)
+        qq = rng.uniform(0, 5, size=(1, 4000, 3)).astype(np.float32)
+        idx, dist, valid = knn_cross_spatial(
+            jnp.asarray(qq), jnp.asarray(kq), 3, window=256, probes=2, tile_q=256
+        )
+        assert bool(valid.all())
+        idxn = np.asarray(idx[0])
+        rec = []
+        for i in rng.choice(4000, 200, replace=False):
+            d2 = ((kq[0] - qq[0, i]) ** 2).sum(-1)
+            ref = set(np.argsort(d2)[:3].tolist())
+            rec.append(len(ref & set(idxn[i].tolist())) / 3)
+        assert np.mean(rec) > 0.95
+
+    def test_masked_keys(self, rng):
+        from ao_tpu.ops import knn_cross_spatial
+
+        kq = rng.uniform(0, 3, size=(1, 512, 3)).astype(np.float32)
+        qq = rng.uniform(0, 3, size=(1, 512, 3)).astype(np.float32)
+        km = np.ones((1, 512), bool)
+        km[:, 300:] = False
+        idx, dist, valid = knn_cross_spatial(
+            jnp.asarray(qq), jnp.asarray(kq), 3,
+            key_mask=jnp.asarray(km), window=256, tile_q=128,
+        )
+        assert int(np.asarray(idx).max()) < 300
+
+    def test_interpolation_spatial_path_matches_exact(self, rng):
+        """Force the spatial path and compare against the exact-path IDW."""
+        import importlib
+
+        im = importlib.import_module("ao_tpu.ops.interpolation")
+
+        src = rng.uniform(0, 4, size=(1, 3000, 3)).astype(np.float32)
+        dst = rng.uniform(0, 4, size=(1, 6000, 3)).astype(np.float32)
+        feat = rng.normal(size=(1, 3000, 8)).astype(np.float32)
+        exact = im.interpolation(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(feat)
+        )
+        old = im._EXACT_PAIR_BUDGET
+        try:
+            im._EXACT_PAIR_BUDGET = 0
+            approx = im.interpolation(
+                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(feat)
+            )
+        finally:
+            im._EXACT_PAIR_BUDGET = old
+        err = np.abs(np.asarray(exact) - np.asarray(approx))
+        # >95% of interpolated features identical (recall misses differ)
+        assert (err.max(axis=-1) < 1e-4).mean() > 0.9
