@@ -87,7 +87,9 @@ class TrainerBase:
         self.storage._latest_scalars = {}
 
     def after_train(self):
-        if self.comm_info.get("current_metric_value", 0) > self.best_metric_value:
+        if "current_metric_value" in self.comm_info and (
+            self.comm_info["current_metric_value"] > self.best_metric_value
+        ):
             self.best_metric_value = self.comm_info["current_metric_value"]
         for h in self.hooks:
             h.after_train()
