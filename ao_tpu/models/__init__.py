@@ -3,6 +3,8 @@ from .losses import LOSSES, Criteria, build_criteria
 from . import default  # noqa: F401
 from .point_transformer_v2 import ptv2m2  # noqa: F401
 from .point_transformer import ptv1  # noqa: F401
+from .sparse_unet import spunet  # noqa: F401
+from .point_group import point_group  # noqa: F401
 
 
 def build_model(cfg):

@@ -294,3 +294,218 @@ class TestPTv1:
         variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
         logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestSparseConvOps:
+    def test_lookup_finds_neighbors(self, rng):
+        from ao_tpu.ops.sparse_conv import build_table, lookup, kernel_offsets
+
+        dc = np.array([[[0, 0, 0], [1, 0, 0], [0, 2, 0], [3, 3, 3]]], np.int32)
+        mask = np.ones((1, 4), bool)
+        table = build_table(jnp.asarray(dc), jnp.asarray(mask))
+        # query existing + missing coords
+        q = np.array([[[1, 0, 0], [0, 2, 0], [2, 2, 2], [-1, 0, 0]]], np.int32)
+        idx, found = lookup(table[0], table[1], jnp.asarray(q), table[2])
+        assert found.tolist() == [[True, True, False, False]]
+        assert idx.tolist()[0][:2] == [1, 2]
+
+    def test_subm_conv_matches_dense(self, rng):
+        """Sparse submanifold conv == dense 3D conv at occupied sites."""
+        from ao_tpu.ops.sparse_conv import (
+            build_table, kernel_offsets, neighbor_idx, sparse_conv_apply,
+        )
+
+        G, C_in, C_out = 5, 3, 4
+        occ = rng.random((G, G, G)) < 0.4
+        sites = np.argwhere(occ).astype(np.int32)
+        M = len(sites)
+        feat_dense = np.zeros((G, G, G, C_in), np.float32)
+        feat_sparse = rng.normal(size=(M, C_in)).astype(np.float32)
+        feat_dense[sites[:, 0], sites[:, 1], sites[:, 2]] = feat_sparse
+
+        offs = kernel_offsets(3)
+        kernel = rng.normal(size=(27, C_in, C_out)).astype(np.float32)
+
+        dc = jnp.asarray(sites[None])
+        mask = jnp.ones((1, M), bool)
+        table = build_table(dc, mask)
+        idx, valid = neighbor_idx(table, dc, dc, mask, offs)
+        out = sparse_conv_apply(
+            jnp.asarray(feat_sparse[None]), idx, valid, jnp.asarray(kernel)
+        )
+        # dense reference (submanifold: only occupied inputs contribute)
+        for si in range(min(M, 20)):
+            acc = np.zeros(C_out)
+            for ki, off in enumerate(offs):
+                p = sites[si] + off
+                if (p >= 0).all() and (p < G).all() and occ[tuple(p)]:
+                    acc += feat_dense[tuple(p)] @ kernel[ki]
+            np.testing.assert_allclose(
+                np.asarray(out[0, si]), acc, rtol=1e-4, atol=1e-5
+            )
+
+    def test_downsample_parents(self, rng):
+        from ao_tpu.ops.sparse_conv import sparse_downsample
+
+        dc = np.array(
+            [[[0, 0, 0], [1, 1, 1], [2, 2, 2], [3, 3, 3], [0, 1, 0]]], np.int32
+        )
+        mask = np.ones((1, 5), bool)
+        out_dc, out_mask, parent = sparse_downsample(
+            jnp.asarray(dc), jnp.asarray(mask), 8
+        )
+        n = int(np.asarray(out_mask).sum())
+        assert n == 2  # blocks (0,0,0) and (1,1,1)
+        pn = np.asarray(parent[0])
+        # sites 0,1,4 share block 0; sites 2,3 share block 1
+        assert pn[0] == pn[1] == pn[4]
+        assert pn[2] == pn[3]
+        assert pn[0] != pn[2]
+        odc = np.asarray(out_dc[0])
+        assert {tuple(odc[pn[0]]), tuple(odc[pn[2]])} == {(0, 0, 0), (1, 1, 1)}
+
+
+class TestSpUNet:
+    def test_forward_and_grad(self, rng):
+        from ao_tpu.models import build_model, build_criteria
+
+        B, N = 1, 256
+        dc = rng.integers(0, 12, size=(B, N, 3)).astype(np.int32)
+        coord = dc.astype(np.float32) * 0.05
+        feat = rng.normal(size=(B, N, 6)).astype(np.float32)
+        mask = np.ones((B, N), bool)
+        model = build_model(
+            dict(
+                type="DefaultSegmentor",
+                backbone=dict(
+                    type="SpUNet-v1m1",
+                    in_channels=6,
+                    num_classes=7,
+                    base_channels=8,
+                    channels=(8, 16, 16, 8),
+                    layers=(1, 1, 1, 1),
+                    stage_cap_ratios=(0.9, 0.9),
+                ),
+            )
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(mask),
+        )
+        logits, _ = model.apply(
+            variables, jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(mask),
+            mutable=["batch_stats"],
+        )
+        assert logits.shape == (B, N, 7)
+        assert np.isfinite(np.asarray(logits)).all()
+
+        criteria = build_criteria([dict(type="CrossEntropyLoss")])
+        segment = jnp.asarray(rng.integers(0, 7, size=(B, N)).astype(np.int32))
+
+        def loss_fn(params):
+            lg, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(mask),
+                mutable=["batch_stats"],
+            )
+            return criteria(lg, segment, jnp.asarray(mask))
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        total = sum(
+            float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads)
+        )
+        assert total > 0
+
+
+class TestPointGroup:
+    def test_native_bfs_cluster(self, rng):
+        from ao_tpu.ops.cluster import bfs_cluster
+
+        # two well-separated blobs of the same class + one other class
+        a = rng.normal(0, 0.2, size=(60, 3)).astype(np.float32)
+        b = rng.normal(0, 0.2, size=(60, 3)).astype(np.float32) + 10.0
+        c = rng.normal(0, 0.2, size=(5, 3)).astype(np.float32) + 20.0
+        coords = np.concatenate([a, b, c])
+        semantic = np.array([2] * 60 + [2] * 60 + [3] * 5, np.int32)
+        labels, n = bfs_cluster(coords, semantic, radius=1.0, min_points=10)
+        assert n == 2  # blob c below min_points
+        assert len(set(labels[:60])) == 1 and labels[0] >= 0
+        assert len(set(labels[60:120])) == 1
+        assert labels[0] != labels[60]
+        assert (labels[120:] == -1).all()
+
+    def test_cluster_respects_labels_and_batch(self, rng):
+        from ao_tpu.ops.cluster import bfs_cluster
+
+        pts = rng.normal(0, 0.1, size=(40, 3)).astype(np.float32)
+        semantic = np.array([1] * 20 + [2] * 20, np.int32)
+        labels, n = bfs_cluster(pts, semantic, radius=1.0, min_points=5)
+        assert n == 2  # same location, different classes -> 2 components
+        batch = np.array([0] * 20 + [1] * 20, np.int32)
+        labels, n = bfs_cluster(
+            pts, np.ones(40, np.int32), batch=batch, radius=1.0, min_points=5
+        )
+        assert n == 2  # same class, different batch ids -> 2 components
+
+    def test_propose_instances(self, rng):
+        from ao_tpu.models.point_group import propose_instances
+
+        n = 300
+        coord = np.concatenate(
+            [
+                rng.normal(0, 0.02, size=(150, 3)),
+                rng.normal(0, 0.02, size=(150, 3)) + 1.0,
+            ]
+        ).astype(np.float32)
+        logits = np.full((n, 4), -10.0, np.float32)
+        logits[:, 2] = 10.0  # everything confidently class 2
+        bias = np.zeros((n, 3), np.float32)
+        out = propose_instances(
+            logits, bias, coord, segment_ignore_index=(-1, 0, 1),
+            cluster_thresh=3.0, cluster_min_points=50,
+            cluster_propose_points=100, voxel_size=0.02,
+        )
+        assert out["pred_masks"].shape[0] == 2
+        assert (out["pred_classes"] == 2).all()
+        assert (out["pred_scores"] > 0.9).all()
+
+    def test_pg_model_forward_loss(self, rng):
+        from ao_tpu.models import build_model
+        from ao_tpu.models.point_group import point_group_loss
+
+        B, N = 1, 256
+        dc = rng.integers(0, 10, size=(B, N, 3)).astype(np.int32)
+        coord = dc.astype(np.float32) * 0.05
+        feat = rng.normal(size=(B, N, 6)).astype(np.float32)
+        mask = np.ones((B, N), bool)
+        model = build_model(
+            dict(
+                type="PG-v1m1",
+                backbone=dict(
+                    type="SpUNet-v1m1", in_channels=6, num_classes=0,
+                    base_channels=8, channels=(8, 16, 16, 8),
+                    layers=(1, 1, 1, 1), stage_cap_ratios=(0.9, 0.9),
+                ),
+                backbone_out_channels=8,
+                semantic_num_classes=5,
+            )
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(mask),
+        )
+        (seg_logits, bias_pred), _ = model.apply(
+            variables, jnp.asarray(coord), jnp.asarray(feat),
+            jnp.asarray(mask), mutable=["batch_stats"],
+        )
+        assert seg_logits.shape == (B, N, 5)
+        assert bias_pred.shape == (B, N, 3)
+        segment = jnp.asarray(rng.integers(0, 5, size=(B, N)).astype(np.int32))
+        instance = jnp.asarray(rng.integers(0, 8, size=(B, N)).astype(np.int32))
+        center = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        losses = point_group_loss(
+            seg_logits, bias_pred, jnp.asarray(coord), segment, instance,
+            center, jnp.asarray(mask),
+        )
+        assert np.isfinite(float(losses["loss"]))
