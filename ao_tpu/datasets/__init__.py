@@ -8,3 +8,5 @@ from . import scannet  # noqa: F401
 from . import modelnet  # noqa: F401
 from . import semantic_kitti  # noqa: F401
 from . import synthetic  # noqa: F401
+from . import nuscenes  # noqa: F401
+from . import misc_datasets  # noqa: F401

@@ -28,6 +28,7 @@ PAD_KEYS = {
     "strength": np.float32,
     "segment": np.int32,
     "instance": np.int32,
+    "instance_center": np.float32,
     "displacement": np.float32,
 }
 # scalar/per-sample keys stacked without padding

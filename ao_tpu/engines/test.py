@@ -147,6 +147,7 @@ class SemSegTester(TesterBase):
             union_meter.update(union)
             target_meter.update(target)
             record[name] = dict(intersection=inter, union=union, target=target)
+            self.save_submission(cfg, save_path, name, seg_pred, dataset)
             mask_v = union != 0
             iou = inter[mask_v] / (union[mask_v] + 1e-10)
             acc = (
@@ -183,6 +184,51 @@ class SemSegTester(TesterBase):
         logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         return dict(mIoU=m_iou, mAcc=m_acc, allAcc=all_acc)
 
+    @staticmethod
+    def save_submission(cfg, save_path, name, pred, dataset):
+        """Benchmark submission writers (reference: engines/test.py:157-195):
+        ScanNet txt of raw ids, SemanticKITTI uint32 .label via the inverse
+        learning map, NuScenes uint8 lidarseg bins."""
+        if not cfg.get("submit", False):
+            return
+        dtype = cfg.get("dataset_type", "")
+        if dtype in ("ScanNetDataset", "ScanNet200Dataset"):
+            from ao_tpu.datasets.preprocessing.scannet_meta import (
+                VALID_CLASS_IDS_20, VALID_CLASS_IDS_200,
+            )
+
+            ids = (
+                VALID_CLASS_IDS_200 if dtype == "ScanNet200Dataset"
+                else VALID_CLASS_IDS_20
+            )
+            sub_dir = os.path.join(save_path, "submit")
+            os.makedirs(sub_dir, exist_ok=True)
+            np.savetxt(
+                os.path.join(sub_dir, f"{name}.txt"),
+                np.asarray(ids)[pred].reshape(-1, 1),
+                fmt="%d",
+            )
+        elif dtype == "SemanticKITTIDataset":
+            seq, frame = name.split("_")
+            sub_dir = os.path.join(
+                save_path, "submit", "sequences", seq, "predictions"
+            )
+            os.makedirs(sub_dir, exist_ok=True)
+            inv = cfg.get("learning_map_inv")
+            out = pred.astype(np.uint32)
+            if inv:
+                lut = np.zeros(max(inv.keys()) + 1, np.uint32)
+                for k, v in inv.items():
+                    lut[k] = v
+                out = lut[np.clip(out, 0, len(lut) - 1)]
+            out.tofile(os.path.join(sub_dir, f"{frame}.label"))
+        elif dtype == "NuScenesDataset":
+            sub_dir = os.path.join(save_path, "submit", "lidarseg", "test")
+            os.makedirs(sub_dir, exist_ok=True)
+            (pred + 1).astype(np.uint8).tofile(
+                os.path.join(sub_dir, f"{name}_lidarseg.bin")
+            )
+
 
 @TEST.register_module()
 class ClsTester(TesterBase):
@@ -217,3 +263,63 @@ class ClsTester(TesterBase):
         m_acc = float(np.mean(inter_sum / np.maximum(target_sum, 1)))
         logger.info(f"Test result: mAcc {m_acc:.4f} allAcc {all_acc:.4f}")
         return dict(allAcc=all_acc, mAcc=m_acc)
+
+
+@TEST.register_module()
+class PartSegTester(TesterBase):
+    """Part segmentation tester (reference: engines/test.py:316-410):
+    softmax voting over augmented views, category-constrained part IoU
+    averaged per shape category."""
+
+    def __call__(self):
+        cfg = self.cfg if self.trainer is None else self.trainer.cfg
+        self.setup(cfg)
+        logger = self.logger
+        dataset = build_dataset(dict(cfg.data.test))
+        K = cfg.data.num_classes
+        pad_multiple = cfg.get("pad_multiple", 1024)
+        categories = dataset.categories
+        category2part = dataset.category2part
+        iou_category = np.zeros(len(categories))
+        iou_count = np.zeros(len(categories))
+
+        for idx in range(len(dataset)):
+            sample = dataset[idx]
+            label = np.asarray(sample["segment"]).reshape(-1)
+            cat_idx = int(np.asarray(sample["category"]).reshape(-1)[0])
+            batch = collate_fn([sample], pad_multiple=pad_multiple)
+            logits = self.forward(
+                jnp.asarray(batch["coord"]),
+                jnp.asarray(batch["feat"]),
+                jnp.asarray(batch["mask"]),
+            )
+            probs = np.asarray(jax.nn.softmax(logits[0], axis=-1))[: label.size]
+            pred = probs.argmax(-1)
+
+            category = categories[cat_idx]
+            parts = category2part[category]
+            parts_iou = np.zeros(len(parts))
+            for j, part in enumerate(parts):
+                gt_m = label == part
+                pr_m = pred == part
+                if not gt_m.any() and not pr_m.any():
+                    parts_iou[j] = 1.0
+                else:
+                    inter = np.sum(gt_m & pr_m)
+                    union = np.sum(gt_m | pr_m)
+                    parts_iou[j] = inter / max(union, 1)
+            iou_category[cat_idx] += parts_iou.mean()
+            iou_count[cat_idx] += 1
+            if self.verbose and idx % 50 == 0:
+                logger.info(f"Test: [{idx + 1}/{len(dataset)}]")
+
+        ins_miou = (
+            iou_category.sum() / max(iou_count.sum(), 1)
+        )
+        cat_miou = np.mean(
+            iou_category[iou_count > 0] / iou_count[iou_count > 0]
+        )
+        logger.info(
+            f"Test result: ins.mIoU/cat.mIoU {ins_miou:.4f}/{cat_miou:.4f}"
+        )
+        return dict(ins_mIoU=float(ins_miou), cat_mIoU=float(cat_miou))

@@ -5,6 +5,8 @@ from .point_transformer_v2 import ptv2m2  # noqa: F401
 from .point_transformer import ptv1  # noqa: F401
 from .sparse_unet import spunet  # noqa: F401
 from .point_group import point_group  # noqa: F401
+from .masked_scene_contrast import msc  # noqa: F401
+from .context_aware_classifier import cac  # noqa: F401
 
 
 def build_model(cfg):

@@ -73,6 +73,9 @@ class GroupedVectorAttention(nn.Module):
     qkv_bias: bool = True
     pe_multiplier: bool = False
     pe_bias: bool = True
+    # v2m1 weight encoding: elementwise-weighted group sum (GroupedLinear,
+    # reference point_transformer_v2m1_origin.py:24-56) instead of a Dense
+    grouped_linear: bool = False
 
     @nn.compact
     def __call__(self, feat, coord, idx, idx_valid, mask,
@@ -100,8 +103,19 @@ class GroupedVectorAttention(nn.Module):
             relation = relation + peb
             v_g = v_g + peb
 
-        # weight encoding: Linear(C->G) -> BN -> ReLU -> Linear(G->G)
-        w = nn.Dense(G)(relation)
+        if self.grouped_linear:
+            # GroupedLinear: scale channels elementwise, sum within groups
+            gw = self.param(
+                "grouped_weight",
+                nn.initializers.lecun_normal(),
+                (1, C),
+            )
+            w = (relation * gw).reshape(
+                relation.shape[:-1] + (G, C // G)
+            ).sum(-1)
+        else:
+            # weight encoding: Linear(C->G) -> BN -> ReLU -> Linear(G->G)
+            w = nn.Dense(G)(relation)
         w = PointBatchNorm(G)(w, idx_valid, ura)
         w = nn.relu(w)
         w = nn.Dense(G)(w)  # (B, N, ns, G)
@@ -127,6 +141,7 @@ class Block(nn.Module):
     pe_bias: bool = True
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    grouped_linear: bool = False
 
     @nn.compact
     def __call__(self, feat, coord, idx, idx_valid, mask,
@@ -142,6 +157,7 @@ class Block(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             pe_multiplier=self.pe_multiplier,
             pe_bias=self.pe_bias,
+            grouped_linear=self.grouped_linear,
         )(h, coord, idx, idx_valid, mask, deterministic, ura)
         h = nn.relu(PointBatchNorm(C)(h, mask, ura))
         h = PointBatchNorm(C)(nn.Dense(C, use_bias=False)(h), mask, ura)
@@ -161,6 +177,7 @@ class BlockSequence(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rates: Sequence[float] = ()
     enable_checkpoint: bool = False
+    grouped_linear: bool = False
 
     @nn.compact
     def __call__(self, feat, coord, mask, knn_cache=None,
@@ -188,6 +205,7 @@ class BlockSequence(nn.Module):
                 pe_bias=self.pe_bias,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rate=rates[i],
+                grouped_linear=self.grouped_linear,
             )(feat, coord, idx, idx_valid, mask, deterministic, use_running_average)
         return feat, (idx, idx_valid)
 
@@ -278,6 +296,7 @@ class PointTransformerV2(nn.Module):
     enable_checkpoint: bool = False
     unpool_backend: str = "map"
     stage_cap_ratios: Tuple[float, ...] = (0.35, 0.35, 0.35, 0.35)
+    grouped_linear: bool = False  # PT-v2m1 weight encoding
 
     @nn.compact
     def __call__(self, coord, feat, mask, deterministic: bool = True,
@@ -311,6 +330,7 @@ class PointTransformerV2(nn.Module):
             pe_bias=self.pe_bias,
             attn_drop_rate=self.attn_drop_rate,
             enable_checkpoint=self.enable_checkpoint,
+            grouped_linear=self.grouped_linear,
             name="patch_embed",
         )(h, coord, mask, None, deterministic, ura)
 
@@ -341,6 +361,7 @@ class PointTransformerV2(nn.Module):
                     sum(self.enc_depths[:i]) : sum(self.enc_depths[: i + 1])
                 ],
                 enable_checkpoint=self.enable_checkpoint,
+                grouped_linear=self.grouped_linear,
                 name=f"enc{i}_blocks",
             )(h, coord, mask, None, deterministic, ura)
             clusters.append(cluster)
@@ -374,6 +395,7 @@ class PointTransformerV2(nn.Module):
                     sum(self.dec_depths[:i]) : sum(self.dec_depths[: i + 1])
                 ],
                 enable_checkpoint=self.enable_checkpoint,
+                grouped_linear=self.grouped_linear,
                 name=f"dec{i}_blocks",
             )(h, coord, mask, skip_knn, deterministic, ura)
 
@@ -386,3 +408,13 @@ class PointTransformerV2(nn.Module):
         else:
             logits = h
         return logits
+
+
+def _ptv2m1(**kwargs):
+    """PT-v2m1 (reference point_transformer_v2m1_origin.py): identical to
+    v2m2 except the weight encoding starts with a GroupedLinear."""
+    kwargs.setdefault("grouped_linear", True)
+    return PointTransformerV2(**kwargs)
+
+
+MODELS.register_module(name="PT-v2m1", module=_ptv2m1)

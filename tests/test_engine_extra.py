@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from ao_tpu.engines.insseg_eval import (
+    OVERLAPS,
+    ap_scores,
+    associate_instances,
+    evaluate_matches,
+)
+
+
+def scene_with(pred_masks, pred_classes, pred_scores, segment, instance,
+               num_classes=4, names=("wall", "floor", "chair", "table")):
+    pred = dict(
+        pred_masks=np.asarray(pred_masks, np.uint8),
+        pred_classes=np.asarray(pred_classes),
+        pred_scores=np.asarray(pred_scores, np.float32),
+    )
+    gt, pr = associate_instances(
+        pred, np.asarray(segment), np.asarray(instance), num_classes, names,
+        segment_ignore_index=(-1, 0), min_region_size=10,
+    )
+    return dict(gt=gt, pred=pr)
+
+
+class TestInsSegAP:
+    def test_perfect_prediction_gets_ap1(self):
+        n = 200
+        segment = np.full(n, 2)
+        instance = np.zeros(n, np.int64)
+        instance[100:] = 1
+        masks = np.zeros((2, n), np.uint8)
+        masks[0, :100] = 1
+        masks[1, 100:] = 1
+        scene = scene_with(masks, [2, 2], [0.9, 0.8], segment, instance)
+        ap = evaluate_matches(
+            [scene], ["floor", "chair", "table"], min_region_size=10
+        )
+        scores = ap_scores(ap, ["floor", "chair", "table"])
+        assert scores["all_ap_50"] == pytest.approx(1.0)
+        assert scores["classes"]["chair"]["ap"] == pytest.approx(1.0)
+
+    def test_wrong_class_is_fp(self):
+        n = 100
+        segment = np.full(n, 2)
+        instance = np.zeros(n, np.int64)
+        masks = np.ones((1, n), np.uint8)
+        scene = scene_with(masks, [3], [0.9], segment, instance)  # class wrong
+        ap = evaluate_matches(
+            [scene], ["floor", "chair", "table"], min_region_size=10
+        )
+        scores = ap_scores(ap, ["floor", "chair", "table"])
+        assert scores["classes"]["chair"]["ap50"] == pytest.approx(0.0)
+
+    def test_half_overlap_passes_25_fails_75(self):
+        n = 100
+        segment = np.full(n, 2)
+        instance = np.zeros(n, np.int64)
+        masks = np.zeros((1, n), np.uint8)
+        masks[0, :60] = 1  # IoU 0.6 with the single GT instance
+        scene = scene_with(masks, [2], [0.9], segment, instance)
+        ap = evaluate_matches([scene], ["floor", "chair", "table"],
+                              min_region_size=10)
+        i25 = int(np.where(np.isclose(OVERLAPS, 0.25))[0][0])
+        i50 = int(np.where(np.isclose(OVERLAPS, 0.5))[0][0])
+        i75 = int(np.where(np.isclose(OVERLAPS, 0.75))[0][0])
+        chair = 1  # index in valid class list
+        assert ap[chair, i25] == pytest.approx(1.0)
+        assert ap[chair, i50] == pytest.approx(1.0)
+        assert ap[chair, i75] == pytest.approx(0.0)
+
+    def test_missed_instance_halves_recall(self):
+        n = 200
+        segment = np.full(n, 2)
+        instance = np.zeros(n, np.int64)
+        instance[100:] = 1
+        masks = np.zeros((1, n), np.uint8)
+        masks[0, :100] = 1  # only predicts instance 0
+        scene = scene_with(masks, [2], [0.9], segment, instance)
+        ap = evaluate_matches([scene], ["floor", "chair", "table"],
+                              min_region_size=10)
+        i50 = int(np.where(np.isclose(OVERLAPS, 0.5))[0][0])
+        assert 0.4 < ap[1, i50] < 0.6  # precision 1, recall 0.5
+
+    def test_void_heavy_prediction_ignored(self):
+        n = 100
+        segment = np.full(n, -1)  # all void
+        segment[:20] = 2
+        instance = np.full(n, -1, np.int64)
+        instance[:20] = 0
+        masks = np.ones((1, n), np.uint8)  # mostly covers void
+        scene = scene_with(masks, [2], [0.9], segment, instance)
+        ap = evaluate_matches([scene], ["floor", "chair", "table"],
+                              min_region_size=10)
+        i25 = int(np.where(np.isclose(OVERLAPS, 0.25))[0][0])
+        # prediction isn't an FP (80% void), and it matches GT at IoU 0.2 ->
+        # fails 0.25 but is void-ignored, so AP@25 is 0 w/ hard FN... the GT
+        # goes unmatched -> recall 0 -> ap 0
+        assert ap[1, i25] == pytest.approx(0.0)
