@@ -253,3 +253,88 @@ class RuntimeProfiler(HookBase):
             jax.profiler.stop_trace()
             self._active = False
             self.trainer.logger.info("Profiling done.")
+
+
+@HOOKS.register_module()
+class DataCacheOperator(HookBase):
+    """Pre-populate the shared-memory dataset cache before training
+    (reference: hooks/misc.py:299-330 with SharedArray; here the mmap-npz
+    cache in ao_tpu.utils.cache)."""
+
+    def __init__(self, data_root=None, mem_size_limit_gb=None):
+        self.data_root = data_root
+        self.mem_size_limit_gb = mem_size_limit_gb
+
+    def before_train(self):
+        from ao_tpu.datasets.defaults import load_scene
+        from ao_tpu.utils.cache import shared_dict
+
+        trainer = self.trainer
+        dataset = trainer.train_loader.dataset
+        data_list = getattr(dataset, "data_list", [])
+        if not data_list or not isinstance(data_list[0], str):
+            return
+        trainer.logger.info(f"=> Caching {len(data_list)} scenes to shm ...")
+        total = 0
+        for path in data_list:
+            try:
+                data = load_scene(path)
+            except Exception:
+                continue
+            total += sum(
+                getattr(v, "nbytes", 0) for v in data.values()
+            )
+            if (
+                self.mem_size_limit_gb
+                and total > self.mem_size_limit_gb * 1024**3
+            ):
+                trainer.logger.warning("shm cache size limit reached")
+                break
+            shared_dict("ao-" + path, data)
+        trainer.logger.info("=> Done.")
+
+
+@HOOKS.register_module()
+class RuntimeProfilerV2(HookBase):
+    """Scheduled jax.profiler trace with wait/warmup/active semantics
+    (reference torch.profiler schedule hook: hooks/misc.py:412-482)."""
+
+    def __init__(self, wait=1, warmup=1, active=2, repeat=1, interrupt=False):
+        self.wait = wait
+        self.warmup = warmup
+        self.active = active
+        self.repeat = repeat
+        self.interrupt = interrupt
+        self._cycle = wait + warmup + active
+        self._tracing = False
+        self._done = 0
+
+    def before_step(self):
+        import jax
+
+        if self._done >= self.repeat:
+            return
+        it = self.trainer.comm_info["iter"]
+        pos = it % self._cycle
+        if pos == self.wait + self.warmup and not self._tracing:
+            trace_dir = os.path.join(self.trainer.save_path, "profile_v2")
+            jax.profiler.start_trace(trace_dir)
+            self._tracing = True
+
+    def after_step(self):
+        import jax
+
+        if not self._tracing:
+            return
+        it = self.trainer.comm_info["iter"]
+        pos = it % self._cycle
+        if pos == self._cycle - 1:
+            jax.profiler.stop_trace()
+            self._tracing = False
+            self._done += 1
+            self.trainer.logger.info(
+                f"RuntimeProfilerV2: trace {self._done}/{self.repeat} done"
+            )
+            if self.interrupt and self._done >= self.repeat:
+                self.trainer.logger.info("Profiler interrupt: exiting.")
+                sys.exit(0)

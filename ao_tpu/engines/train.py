@@ -322,6 +322,19 @@ class Trainer(TrainerBase):
         ignore = self.cfg.data.get("ignore_index", -1)
 
         @jax.jit
+        def eval_pred(state: TrainState, batch: dict):
+            target = batch.get("segment", batch.get("category"))
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["coord"], batch["feat"], batch["mask"], True, True,
+            )
+            mask = batch["mask"] if logits.ndim == 3 else None
+            loss = criteria(logits, target, mask)
+            return loss, jnp.argmax(logits, axis=-1)
+
+        self._eval_pred = eval_pred
+
+        @jax.jit
         def eval_step(state: TrainState, batch: dict):
             target = batch.get("segment", batch.get("category"))
             logits = model.apply(
@@ -364,8 +377,39 @@ class Trainer(TrainerBase):
         }
 
     def eval_batch(self, batch):
-        batch = self.put_batch(batch)
-        return self._eval_step(self.state, batch)
+        """Loss + IoU histograms; when the batch carries origin_coord /
+        origin_segment (reference evaluator.py:124-133), predictions on the
+        grid-sampled points are re-projected to the full-resolution points
+        by nearest neighbour before scoring."""
+        extras = batch.get("extras", {})
+        if "origin_coord" not in extras:
+            dev = self.put_batch(batch)
+            return self._eval_step(self.state, dev)
+        from ao_tpu.ops import knn
+        from ao_tpu.utils.misc import intersection_and_union
+
+        dev = self.put_batch(batch)
+        loss, pred = self._eval_pred(self.state, dev)
+        pred = np.asarray(pred)
+        K = self.cfg.data.num_classes
+        ignore = self.cfg.data.get("ignore_index", -1)
+        inter = np.zeros(K)
+        union = np.zeros(K)
+        target = np.zeros(K)
+        for b in range(pred.shape[0]):
+            oc = np.asarray(extras["origin_coord"][b], np.float32)
+            os_ = np.asarray(extras["origin_segment"][b]).reshape(-1)
+            m = np.asarray(batch["mask"][b])
+            sampled = np.asarray(batch["coord"][b])[m]
+            idx, _, _ = knn(
+                jnp.asarray(oc[None]), jnp.asarray(sampled[None]), 1
+            )
+            full_pred = pred[b][m][np.asarray(idx[0, :, 0])]
+            i, u, t = intersection_and_union(full_pred, os_, K, ignore)
+            inter += i
+            union += u
+            target += t
+        return loss, inter, union, target
 
     def current_lr(self) -> float:
         return lr_at_step(

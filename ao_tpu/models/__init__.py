@@ -4,9 +4,11 @@ from . import default  # noqa: F401
 from .point_transformer_v2 import ptv2m2  # noqa: F401
 from .point_transformer import ptv1  # noqa: F401
 from .sparse_unet import spunet  # noqa: F401
+from .sparse_unet import mink_spvcnn  # noqa: F401
 from .point_group import point_group  # noqa: F401
 from .masked_scene_contrast import msc  # noqa: F401
 from .context_aware_classifier import cac  # noqa: F401
+from .stratified_transformer import stratified  # noqa: F401
 
 
 def build_model(cfg):

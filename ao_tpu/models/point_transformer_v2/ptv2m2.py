@@ -57,13 +57,14 @@ class PEMLP(nn.Module):
     """Positional-encoding MLP: Linear(3->C) -> BN -> ReLU -> Linear(C->C)."""
 
     channels: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, pos, valid, use_running_average):
-        h = nn.Dense(self.channels)(pos)
+        h = nn.Dense(self.channels, dtype=self.dtype)(pos)
         h = PointBatchNorm(self.channels)(h, valid, use_running_average)
         h = nn.relu(h)
-        return nn.Dense(self.channels)(h)
+        return nn.Dense(self.channels, dtype=self.dtype)(h)
 
 
 class GroupedVectorAttention(nn.Module):
@@ -76,6 +77,7 @@ class GroupedVectorAttention(nn.Module):
     # v2m1 weight encoding: elementwise-weighted group sum (GroupedLinear,
     # reference point_transformer_v2m1_origin.py:24-56) instead of a Dense
     grouped_linear: bool = False
+    dtype: Optional[Any] = None  # activation/compute dtype (bf16 for speed)
 
     @nn.compact
     def __call__(self, feat, coord, idx, idx_valid, mask,
@@ -83,23 +85,36 @@ class GroupedVectorAttention(nn.Module):
         C, G = self.embed_channels, self.groups
         ura = use_running_average
         q = nn.relu(
-            PointBatchNorm(C)(nn.Dense(C, use_bias=self.qkv_bias)(feat), mask, ura)
+            PointBatchNorm(C)(
+                nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype)(feat),
+                mask, ura,
+            )
         )
         k = nn.relu(
-            PointBatchNorm(C)(nn.Dense(C, use_bias=self.qkv_bias)(feat), mask, ura)
+            PointBatchNorm(C)(
+                nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype)(feat),
+                mask, ura,
+            )
         )
-        v = nn.Dense(C, use_bias=self.qkv_bias)(feat)
+        v = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype)(feat)
 
         k_g = grouping(k, idx, idx_valid)  # (B, N, ns, C)
         v_g = grouping(v, idx, idx_valid)
         pos = grouping_with_rel_coord(coord, coord, idx, idx_valid)
 
         relation = k_g - q[:, :, None, :]
+        if self.dtype is not None:
+            relation = relation.astype(self.dtype)
+            v_g = v_g.astype(self.dtype)
         if self.pe_multiplier:
-            pem = PEMLP(C, name="linear_p_multiplier")(pos, idx_valid, ura)
+            pem = PEMLP(C, dtype=self.dtype, name="linear_p_multiplier")(
+                pos, idx_valid, ura
+            )
             relation = relation * pem
         if self.pe_bias:
-            peb = PEMLP(C, name="linear_p_bias")(pos, idx_valid, ura)
+            peb = PEMLP(C, dtype=self.dtype, name="linear_p_bias")(
+                pos, idx_valid, ura
+            )
             relation = relation + peb
             v_g = v_g + peb
 
@@ -115,21 +130,23 @@ class GroupedVectorAttention(nn.Module):
             ).sum(-1)
         else:
             # weight encoding: Linear(C->G) -> BN -> ReLU -> Linear(G->G)
-            w = nn.Dense(G)(relation)
+            w = nn.Dense(G, dtype=self.dtype)(relation)
         w = PointBatchNorm(G)(w, idx_valid, ura)
         w = nn.relu(w)
-        w = nn.Dense(G)(w)  # (B, N, ns, G)
+        w = nn.Dense(G, dtype=self.dtype)(w)  # (B, N, ns, G)
 
-        w = jnp.where(idx_valid[..., None], w, -jnp.inf)
+        w = jnp.where(idx_valid[..., None], w.astype(jnp.float32), -jnp.inf)
         w = nn.softmax(w, axis=2)
         w = jnp.where(idx_valid[..., None], w, 0.0)
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
         if self.attn_drop_rate > 0.0:
             w = nn.Dropout(self.attn_drop_rate)(w, deterministic=deterministic)
 
         B, N, ns, _ = v_g.shape
         v_g = v_g.reshape(B, N, ns, G, C // G)
         out = jnp.einsum("bnsgi,bnsg->bngi", v_g, w)
-        out = out.reshape(B, N, C)
+        out = out.reshape(B, N, C).astype(jnp.float32)
         return jnp.where(mask[:, :, None], out, 0.0)
 
 
@@ -142,6 +159,7 @@ class Block(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     grouped_linear: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, coord, idx, idx_valid, mask,
@@ -149,7 +167,11 @@ class Block(nn.Module):
         C = self.embed_channels
         ura = use_running_average
         identity = feat
-        h = nn.relu(PointBatchNorm(C)(nn.Dense(C, use_bias=False)(feat), mask, ura))
+        h = nn.relu(
+            PointBatchNorm(C)(
+                nn.Dense(C, use_bias=False, dtype=self.dtype)(feat), mask, ura
+            )
+        )
         h = GroupedVectorAttention(
             embed_channels=C,
             groups=self.groups,
@@ -158,9 +180,12 @@ class Block(nn.Module):
             pe_multiplier=self.pe_multiplier,
             pe_bias=self.pe_bias,
             grouped_linear=self.grouped_linear,
+            dtype=self.dtype,
         )(h, coord, idx, idx_valid, mask, deterministic, ura)
         h = nn.relu(PointBatchNorm(C)(h, mask, ura))
-        h = PointBatchNorm(C)(nn.Dense(C, use_bias=False)(h), mask, ura)
+        h = PointBatchNorm(C)(
+            nn.Dense(C, use_bias=False, dtype=self.dtype)(h), mask, ura
+        )
         h = identity + DropPath(self.drop_path_rate)(h, deterministic)
         h = nn.relu(h)
         return jnp.where(mask[:, :, None], h, 0.0)
@@ -178,6 +203,7 @@ class BlockSequence(nn.Module):
     drop_path_rates: Sequence[float] = ()
     enable_checkpoint: bool = False
     grouped_linear: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feat, coord, mask, knn_cache=None,
@@ -206,6 +232,7 @@ class BlockSequence(nn.Module):
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rate=rates[i],
                 grouped_linear=self.grouped_linear,
+                dtype=self.dtype,
             )(feat, coord, idx, idx_valid, mask, deterministic, use_running_average)
         return feat, (idx, idx_valid)
 
@@ -297,6 +324,9 @@ class PointTransformerV2(nn.Module):
     unpool_backend: str = "map"
     stage_cap_ratios: Tuple[float, ...] = (0.35, 0.35, 0.35, 0.35)
     grouped_linear: bool = False  # PT-v2m1 weight encoding
+    # "bfloat16" runs attention-block activations in bf16 (MXU-native,
+    # halves activation bandwidth); params and norms stay f32
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, coord, feat, mask, deterministic: bool = True,
@@ -304,6 +334,7 @@ class PointTransformerV2(nn.Module):
         num_stages = len(self.enc_depths)
         assert num_stages == len(self.dec_depths) == len(self.grid_sizes)
         ura = use_running_average
+        dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         def linspace(total, n):
             if n <= 1:
@@ -331,6 +362,7 @@ class PointTransformerV2(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             enable_checkpoint=self.enable_checkpoint,
             grouped_linear=self.grouped_linear,
+            dtype=dtype,
             name="patch_embed",
         )(h, coord, mask, None, deterministic, ura)
 
@@ -362,6 +394,7 @@ class PointTransformerV2(nn.Module):
                 ],
                 enable_checkpoint=self.enable_checkpoint,
                 grouped_linear=self.grouped_linear,
+                dtype=dtype,
                 name=f"enc{i}_blocks",
             )(h, coord, mask, None, deterministic, ura)
             clusters.append(cluster)
@@ -396,6 +429,7 @@ class PointTransformerV2(nn.Module):
                 ],
                 enable_checkpoint=self.enable_checkpoint,
                 grouped_linear=self.grouped_linear,
+                dtype=dtype,
                 name=f"dec{i}_blocks",
             )(h, coord, mask, skip_knn, deterministic, ura)
 
