@@ -43,14 +43,19 @@ from ao_tpu.ops import (
     unpool_map,
 )
 
-# Above this point count, self-kNN uses the multi-probe spatial path.
-_EXACT_KNN_MAX_N = 8192
+# Below this point count the curve window covers (nearly) the whole cloud,
+# so a single probe is exact; above it, multi-probe approximate search.
+_SMALL_N = 1152
 
 
 def _self_knn(coord, mask, k):
-    if coord.shape[1] <= _EXACT_KNN_MAX_N:
-        return knn_query(k, coord, mask)
-    return knn_self_spatial(coord, mask, k=k)
+    n = coord.shape[1]
+    if n <= _SMALL_N:
+        # window >= N: the "window" search degenerates to exact kNN
+        return knn_self_spatial(
+            coord, mask, k=k, probes=1, exact_dist=False
+        )
+    return knn_self_spatial(coord, mask, k=k, exact_dist=False)
 
 
 class PEMLP(nn.Module):

@@ -98,25 +98,28 @@ def _take_rows(x, order):
     return jnp.take_along_axis(x, order, axis=1)
 
 
-def _window_search(k_sorted, k2, q_sorted, ws, k, tile_q, window):
+def _window_search(k_sorted, k2, order_k, q_sorted, ws, k, tile_q, window):
     """Per-tile windowed k-smallest search (batched).
 
-    k_sorted (B, Nk, 3), k2 (B, Nk), q_sorted (B, Nqp, 3), ws (B, T).
-    Returns (scores (B, Nqp, k), key positions (B, Nqp, k)); scores are
-    |key|^2 - 2 q.key (no |q|^2 term)."""
+    k_sorted (B, Nk, 3), k2 (B, Nk), order_k (B, Nk) original ids,
+    q_sorted (B, Nqp, 3), ws (B, T). Returns (scores (B, Nqp, k),
+    ORIGINAL key ids (B, Nqp, k)); scores are |key|^2 - 2 q.key."""
     # Pallas path needs a 128-multiple window (Mosaic lane alignment).
     if _use_pallas() and window % 128 == 0 and tile_q % 8 == 0:
         from .pallas.knn_window import knn_window_pallas
 
-        return knn_window_pallas(k_sorted, k2, q_sorted, ws, k, tile_q, window)
+        return knn_window_pallas(
+            k_sorted, k2, order_k, q_sorted, ws, k, tile_q, window
+        )
 
     B, Nqp, _ = q_sorted.shape
 
     def q_tile(t):
-        def one(ksb, k2b, qsb, wsb):
+        def one(ksb, k2b, ob, qsb, wsb):
             qt = lax.dynamic_slice(qsb, (t * tile_q, 0), (tile_q, 3))
             wt = lax.dynamic_slice(ksb, (wsb[t], 0), (window, 3))
             k2t = lax.dynamic_slice(k2b, (wsb[t],), (window,))
+            ot = lax.dynamic_slice(ob, (wsb[t],), (window,))
             s = k2t[None, :] - 2.0 * jnp.dot(
                 qt, wt.T, preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGHEST,
@@ -128,9 +131,9 @@ def _window_search(k_sorted, k2, q_sorted, ws, k, tile_q, window):
                     neg_d, ((0, 0), (0, k - kk)), constant_values=-_BIG
                 )
                 pos = jnp.pad(pos, ((0, 0), (0, k - kk)))
-            return -neg_d, (wsb[t] + pos).astype(jnp.int32)
+            return -neg_d, ot[pos]
 
-        return jax.vmap(one)(k_sorted, k2, q_sorted, ws)
+        return jax.vmap(one)(k_sorted, k2, order_k, q_sorted, ws)
 
     d2, idx = lax.map(q_tile, np.arange(Nqp // tile_q))  # (T, B, tq, k)
     d2 = jnp.moveaxis(d2, 0, 1).reshape(B, Nqp, k)
@@ -162,6 +165,7 @@ def _window_probe(query, key, qmask, kmask, k, tile_q, window, shift,
     Nkp = -(-Nk // 128) * 128
     k_sorted = jnp.pad(k_sorted, ((0, 0), (0, Nkp - Nk), (0, 0)))
     pen = jnp.pad(pen, ((0, 0), (0, Nkp - Nk)), constant_values=_BIG)
+    order_k_pad = jnp.pad(order_k, ((0, 0), (0, Nkp - Nk))).astype(jnp.int32)
     Nk = Nkp
     k2 = jnp.sum(k_sorted * k_sorted, axis=-1) + pen
 
@@ -188,16 +192,16 @@ def _window_probe(query, key, qmask, kmask, k, tile_q, window, shift,
         ws = jnp.clip(centers - window // 2, 0, max(Nk - window, 0))
     ws = ((ws // 128) * 128).astype(jnp.int32)
 
-    s, idx_pos = _window_search(k_sorted, k2, q_sorted, ws, k, tile_q, window)
+    s, idx_orig = _window_search(
+        k_sorted, k2, order_k_pad, q_sorted, ws, k, tile_q, window
+    )
     q_rows = _take_rows(query, order_q)
     q2 = jnp.sum(q_rows * q_rows, axis=-1)
     q2 = jnp.pad(q2, ((0, 0), (0, Nqp - Nq)))
     d2 = (s + q2[:, :, None])[:, :Nq]
-    # positions into key padding (selected only when <k valid keys exist)
-    # are flagged invalid via their _BIG scores; clip before the id gather
-    idx_pos = jnp.minimum(idx_pos[:, :Nq], order_k.shape[1] - 1)
-    idx_orig = jnp.take_along_axis(order_k, idx_pos.reshape(B, -1), axis=1)
-    idx_orig = idx_orig.reshape(B, Nq, k).astype(jnp.int32)
+    # ids selected from key padding (only when <k valid keys exist) are
+    # flagged invalid via their _BIG scores; _finalize clamps before gathers
+    idx_orig = jnp.clip(idx_orig[:, :Nq], 0, None).astype(jnp.int32)
     d2 = jnp.where(s[:, :Nq] > _BIG / 2, _BIG, d2)
     # Map rows back to the original query order by inverse permutation
     # (a gather — cheaper and batch-friendly vs scatter).
@@ -229,12 +233,20 @@ def _merge_probes(d2s, idxs, k):
     return -neg_d, jnp.take_along_axis(idxs_, pos, axis=-1)
 
 
-def _finalize(d2, idx, query_coord, key_coord, query_mask):
+def _finalize(d2, idx, query_coord, key_coord, query_mask, exact_dist=True):
     valid = (d2 < _BIG / 2) & query_mask[:, :, None]
     idx = jnp.where(valid, idx, 0).astype(jnp.int32)
-    sel = jnp.take_along_axis(key_coord[:, :, None, :], idx[:, :, :, None], axis=1)
-    diff = sel - query_coord[:, :, None, :]
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    idx = jnp.minimum(idx, key_coord.shape[1] - 1)
+    if exact_dist:
+        # subtract-square recompute: the |k|^2-2qk+|q|^2 score cancels
+        # catastrophically near zero (needed for IDW interpolation weights)
+        sel = jnp.take_along_axis(
+            key_coord[:, :, None, :], idx[:, :, :, None], axis=1
+        )
+        diff = sel - query_coord[:, :, None, :]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    else:
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     dist = jnp.where(valid, dist, 0.0)
     return idx, dist, valid
 
@@ -255,7 +267,7 @@ def _multi_probe(query, key, qmask, kmask, k, tile_q, window, probes,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_q", "window", "probes")
+    jax.jit, static_argnames=("k", "tile_q", "window", "probes", "exact_dist")
 )
 def knn_self_spatial(
     coord: jnp.ndarray,  # (B, N, 3)
@@ -264,6 +276,7 @@ def knn_self_spatial(
     tile_q: int = 256,
     window: int = 1024,
     probes: int = 3,
+    exact_dist: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN. Same return contract as ``knn.knn_query``:
     (idx, dist, valid) each (B, N, k), ascending distance, the query itself
@@ -277,11 +290,11 @@ def knn_self_spatial(
     d2, idx = _multi_probe(
         coord, coord, mask, mask, k, tile_q, window, probes, self_mode=True
     )
-    return _finalize(d2, idx, coord, coord, mask)
+    return _finalize(d2, idx, coord, coord, mask, exact_dist)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_q", "window", "probes")
+    jax.jit, static_argnames=("k", "tile_q", "window", "probes", "exact_dist")
 )
 def knn_cross_spatial(
     query_coord: jnp.ndarray,  # (B, Nq, 3)
@@ -292,6 +305,7 @@ def knn_cross_spatial(
     tile_q: int = 256,
     window: int = 1024,
     probes: int = 3,
+    exact_dist: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Approximate cross-cloud kNN with the knn.knn return contract."""
     B, Nq, _ = query_coord.shape
@@ -308,4 +322,4 @@ def knn_cross_spatial(
         query_coord, key_coord, query_mask, key_mask, k, tile_q, window,
         probes, self_mode=False,
     )
-    return _finalize(d2, idx, query_coord, key_coord, query_mask)
+    return _finalize(d2, idx, query_coord, key_coord, query_mask, exact_dist)

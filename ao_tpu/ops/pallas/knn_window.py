@@ -31,8 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = np.float32(1e30)
 
 
-def _knn_window_kernel(ws_ref, q_ref, keys_ref, k2_ref, d2_ref, idx_ref,
-                       *, k: int, window: int):
+def _knn_window_kernel(ws_ref, q_ref, keys_ref, k2_ref, order_ref,
+                       d2_ref, idx_ref, *, k: int, window: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
     # window starts are pre-rounded to 128 on the host (Mosaic requires
@@ -43,6 +43,7 @@ def _knn_window_kernel(ws_ref, q_ref, keys_ref, k2_ref, d2_ref, idx_ref,
     # padding a 3-wide lane dim to 128
     wt = keys_ref[0, :, pl.ds(ws, window)]  # (3, W)
     k2t = k2_ref[0, 0, pl.ds(ws, window)]  # (W,)
+    ids = order_ref[0, 0, pl.ds(ws, window)]  # (W,) original point ids
     s = k2t[None, :] - 2.0 * jax.lax.dot_general(
         qt,
         wt,
@@ -53,13 +54,18 @@ def _knn_window_kernel(ws_ref, q_ref, keys_ref, k2_ref, d2_ref, idx_ref,
 
     tq = qt.shape[0]
     col = lax.broadcasted_iota(jnp.int32, (tq, window), 1)
+    imax = jnp.int32(np.iinfo(np.int32).max)
     d2_cols = []
     idx_cols = []
     for _ in range(k):
         m = jnp.min(s, axis=1)  # (TQ,)
         am = jnp.min(jnp.where(s <= m[:, None], col, window), axis=1)
+        # emit ORIGINAL point ids directly (the order table slice is
+        # VMEM-contiguous here; doing the remap outside the kernel is a
+        # pathological element-wise XLA gather)
+        oid = jnp.min(jnp.where(col == am[:, None], ids[None, :], imax), axis=1)
         d2_cols.append(m)
-        idx_cols.append(ws + am)
+        idx_cols.append(oid)
         s = jnp.where(col == am[:, None], _BIG, s)
     d2_ref[0] = jnp.stack(d2_cols, axis=1)
     idx_ref[0] = jnp.stack(idx_cols, axis=1).astype(jnp.int32)
@@ -71,6 +77,7 @@ def _knn_window_kernel(ws_ref, q_ref, keys_ref, k2_ref, d2_ref, idx_ref,
 def knn_window_pallas(
     keys_sorted: jnp.ndarray,  # (B, Nk, 3) curve-sorted (transposed internally)
     k2: jnp.ndarray,  # (B, Nk) |k|^2 + invalid penalty
+    order: jnp.ndarray,  # (B, Nk) original point id per sorted position
     queries_sorted: jnp.ndarray,  # (B, Nqp, 3) curve-sorted queries
     window_starts: jnp.ndarray,  # (B, Nqp // tile_q) int32, 128-aligned
     k: int,
@@ -78,8 +85,8 @@ def knn_window_pallas(
     window: int,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (d2 (B, Nqp, k) ranking scores, idx (B, Nqp, k) positions in
-    the sorted key order), ascending."""
+    """Returns (d2 (B, Nqp, k) ranking scores, idx (B, Nqp, k) ORIGINAL
+    key ids), ascending by score."""
     B, nq, _ = queries_sorted.shape
     nk = keys_sorted.shape[1]
     num_tiles = nq // tile_q
@@ -89,6 +96,7 @@ def knn_window_pallas(
         in_specs=[
             pl.BlockSpec((1, tile_q, 3), lambda b, t, ws: (b, t, 0)),
             pl.BlockSpec((1, 3, nk), lambda b, t, ws: (b, 0, 0)),
+            pl.BlockSpec((1, 1, nk), lambda b, t, ws: (b, 0, 0)),
             pl.BlockSpec((1, 1, nk), lambda b, t, ws: (b, 0, 0)),
         ],
         out_specs=[
@@ -110,6 +118,7 @@ def knn_window_pallas(
         queries_sorted,
         jnp.transpose(keys_sorted, (0, 2, 1)),
         k2[:, None, :],
+        order[:, None, :],
     )
     # Keep the kernel outputs out of downstream fusions: inside a large jit
     # XLA otherwise tries to hold the whole (B, N, k) result tuple in VMEM

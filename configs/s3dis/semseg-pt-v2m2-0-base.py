@@ -37,6 +37,8 @@ model = dict(
         # stage (S3DIS 0.04 m sample -> 0.1/0.2/0.4 m pooling reduces ~4-6x;
         # 0.35 leaves comfortable headroom)
         stage_cap_ratios=(0.35, 0.35, 0.35),
+        # reference trains with AMP (enable_amp=True); bf16 is the TPU analog
+        compute_dtype="bfloat16",
     ),
     criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
 )

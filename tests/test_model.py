@@ -509,3 +509,53 @@ class TestPointGroup:
             center, jnp.asarray(mask),
         )
         assert np.isfinite(float(losses["loss"]))
+
+
+class TestBackboneZoo:
+    """Every registered backbone family builds and produces finite logits."""
+
+    @pytest.mark.parametrize(
+        "backbone",
+        [
+            dict(type="ST-v1m1", in_channels=6, num_classes=5,
+                 channels=(8, 16), num_heads=(2, 2), depths=(1, 1),
+                 window_sizes=(0.5, 1.0), quant_sizes=(0.02, 0.04),
+                 grid_sizes=(0.3,), window_capacity=32,
+                 stage_cap_ratios=(0.6,)),
+            dict(type="OctFormer-v1m1", in_channels=6, num_classes=5,
+                 channels=(8, 16), num_heads=(2, 2), depths=(1, 1),
+                 patch_size=16, dilation=2, grid_sizes=(0.3,),
+                 stage_cap_ratios=(0.6,)),
+            dict(type="Swin3D-v1m1", in_channels=6, num_classes=5,
+                 base_grid_size=0.1, channels=(8, 16), num_heads=(2, 2),
+                 depths=(1, 1), window_sizes=(3, 3),
+                 stage_cap_ratios=(0.6,)),
+            dict(type="MinkUNet14", in_channels=6, num_classes=5,
+                 base_channels=8, channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                 layers=(1,) * 8, stage_cap_ratios=(0.9,) * 4),
+            dict(type="SPVCNN", in_channels=6, out_channels=5,
+                 base_channels=8, channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                 layers=(1,) * 8, stage_cap_ratios=(0.9,) * 4),
+            dict(type="PT-v2m1", in_channels=6, num_classes=5,
+                 patch_embed_depth=1, patch_embed_channels=8,
+                 patch_embed_groups=2, patch_embed_neighbours=8,
+                 enc_depths=(1,), enc_channels=(16,), enc_groups=(4,),
+                 enc_neighbours=(8,), dec_depths=(1,), dec_channels=(8,),
+                 dec_groups=(2,), dec_neighbours=(8,), grid_sizes=(0.3,),
+                 stage_cap_ratios=(1.0,), unpool_backend="map"),
+        ],
+        ids=lambda b: b["type"],
+    )
+    def test_backbone_forward(self, rng, backbone):
+        from ao_tpu.models import build_model
+
+        coord, feat, mask = make_batch(rng, B=1, N=384)
+        model = build_model(dict(type="DefaultSegmentor", backbone=backbone))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
+        logits, _ = model.apply(
+            variables, coord, feat, mask, mutable=["batch_stats"]
+        )
+        assert logits.shape == (1, 384, 5)
+        assert np.isfinite(np.asarray(logits)).all()
