@@ -87,10 +87,16 @@ def OneCycleLR(
     if isinstance(max_lr, (list, tuple)):
         max_lr = max_lr[0]
     assert anneal_strategy == "cos", "only cosine anneal is implemented"
+    if total_steps <= 1:  # degenerate smoke runs: constant lr
+        return lambda s: jnp.full(jnp.shape(s), max_lr, jnp.float32)
+    # optax floors the warmup boundary to int; a zero-length warmup interval
+    # (tiny total_steps) divides by zero -> nan lr. Clamp to [1, steps-1].
+    warmup = min(max(int(pct_start * total_steps), 1), total_steps - 1)
     return optax.cosine_onecycle_schedule(
         transition_steps=total_steps,
         peak_value=max_lr,
-        pct_start=pct_start,
+        # +0.5 so optax's int() floor lands exactly on `warmup` despite fp
+        pct_start=(warmup + 0.5) / total_steps,
         div_factor=div_factor,
         final_div_factor=final_div_factor,
     )
