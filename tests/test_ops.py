@@ -364,3 +364,34 @@ class TestCrossSpatialKNN:
         err = np.abs(np.asarray(exact) - np.asarray(approx))
         # >95% of interpolated features identical (recall misses differ)
         assert (err.max(axis=-1) < 1e-4).mean() > 0.9
+
+
+def test_random_ball_query_randomizes():
+    """Picks stay inside the annulus, differ across rng keys, and are not
+    simply the nearest neighbours (reference query.py:27-70 samples a
+    random in-ball subset)."""
+    import jax
+
+    from ao_tpu.ops import random_ball_query
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(0, 2, (1, 32, 3)).astype(np.float32))
+    k = jnp.asarray(rng.uniform(0, 2, (1, 2048, 3)).astype(np.float32))
+    idx1, d1, v1 = random_ball_query(
+        q, k, nsample=8, min_radius=0.1, max_radius=0.5,
+        rng=jax.random.PRNGKey(0),
+    )
+    idx2, _, _ = random_ball_query(
+        q, k, nsample=8, min_radius=0.1, max_radius=0.5,
+        rng=jax.random.PRNGKey(1),
+    )
+    idx1, v1 = np.asarray(idx1), np.asarray(v1)
+    dist = np.linalg.norm(
+        np.asarray(k)[0][idx1[0]] - np.asarray(q)[0][:, None], axis=-1
+    )
+    dv = dist[v1[0]]
+    assert dv.size and (dv >= 0.1).all() and (dv < 0.5).all()
+    assert not np.array_equal(idx1, np.asarray(idx2))  # rng changes picks
+    # mean pick distance exceeds the nearest-first baseline
+    nidx, ndist, nvalid = ball_query(q, k, 8, 0.1, 0.5)
+    assert dv.mean() > np.asarray(ndist)[np.asarray(nvalid)].mean() * 1.05

@@ -127,3 +127,40 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["epoch"] == 3
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.arange(4.0))
     assert not os.path.exists(path + ".tmp")
+
+
+def test_schedulers_finite_over_range():
+    """Every registered scheduler must return finite lr at every step —
+    including degenerate short runs (regression: OneCycleLR's warmup
+    boundary floored to a zero-length interval -> nan lr)."""
+    from ao_tpu.utils.scheduler import build_scheduler
+
+    cfgs = [
+        dict(type="MultiStepLR", milestones=[0.6, 0.8]),
+        dict(type="MultiStepWithWarmupLR", milestones=[0.6, 0.8]),
+        dict(type="PolyLR"),
+        dict(type="ExpLR"),
+        dict(type="CosineAnnealingLR"),
+        dict(type="OneCycleLR", max_lr=0.1, pct_start=0.05),
+    ]
+    for total_steps in (1, 2, 4, 1000):
+        for cfg in cfgs:
+            sched = build_scheduler(dict(cfg), base_lr=0.01,
+                                    total_steps=total_steps)
+            lrs = np.asarray([sched(s) for s in range(total_steps)])
+            assert np.all(np.isfinite(lrs)), (cfg["type"], total_steps, lrs)
+            assert np.all(lrs > 0), (cfg["type"], total_steps, lrs)
+
+
+def test_onecycle_shape():
+    from ao_tpu.utils.scheduler import build_scheduler
+
+    sched = build_scheduler(
+        dict(type="OneCycleLR", max_lr=0.1, pct_start=0.1),
+        base_lr=0.01, total_steps=100,
+    )
+    lrs = np.asarray([sched(s) for s in range(100)])
+    peak = int(np.argmax(lrs))
+    assert 5 <= peak <= 15  # warmup ends near pct_start * total_steps
+    assert abs(lrs[peak] - 0.1) < 1e-3
+    assert lrs[-1] < lrs[0]  # final lr far below initial
