@@ -103,8 +103,14 @@ class GroupedVectorAttention(nn.Module):
         )
         v = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype)(feat)
 
-        k_g = grouping(k, idx, idx_valid)  # (B, N, ns, C)
-        v_g = grouping(v, idx, idx_valid)
+        # One merged gather for k and v: TPU gathers/scatter-adds are
+        # row-count-bound (cost is flat in row width), so fetching (2C)-wide
+        # rows once halves both the forward gather and the backward
+        # scatter-add versus separate k/v gathers.
+        if self.dtype is not None:
+            k, v = k.astype(self.dtype), v.astype(self.dtype)
+        kv_g = grouping(jnp.concatenate([k, v], axis=-1), idx, idx_valid)
+        k_g, v_g = kv_g[..., :C], kv_g[..., C:]
         pos = grouping_with_rel_coord(coord, coord, idx, idx_valid)
 
         relation = k_g - q[:, :, None, :]
