@@ -20,8 +20,10 @@ from .grouping import grouping
 
 # above this many query*key pairs the exact tiled kNN's top_k merges
 # dominate (hundreds of ms on a v5e); the curve-window search is ~30x
-# cheaper at >99% recall for k=3
-_EXACT_PAIR_BUDGET = 16_000_000
+# cheaper at >99% recall for k=3. Profiling showed the exact path's scan
+# +sort cost ~18ms even at ~9M pairs, so the budget sits low: exact only
+# for genuinely tiny problems.
+_EXACT_PAIR_BUDGET = 2_000_000
 
 
 def interpolation(
