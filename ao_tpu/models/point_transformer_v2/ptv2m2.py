@@ -85,7 +85,7 @@ class GroupedVectorAttention(nn.Module):
     dtype: Optional[Any] = None  # activation/compute dtype (bf16 for speed)
 
     @nn.compact
-    def __call__(self, feat, coord, idx, idx_valid, mask,
+    def __call__(self, feat, pos, idx, idx_valid, mask,
                  deterministic: bool = True, use_running_average: bool = False):
         C, G = self.embed_channels, self.groups
         ura = use_running_average
@@ -111,7 +111,6 @@ class GroupedVectorAttention(nn.Module):
             k, v = k.astype(self.dtype), v.astype(self.dtype)
         kv_g = grouping(jnp.concatenate([k, v], axis=-1), idx, idx_valid)
         k_g, v_g = kv_g[..., :C], kv_g[..., C:]
-        pos = grouping_with_rel_coord(coord, coord, idx, idx_valid)
 
         relation = k_g - q[:, :, None, :]
         if self.dtype is not None:
@@ -173,7 +172,7 @@ class Block(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, feat, coord, idx, idx_valid, mask,
+    def __call__(self, feat, pos, idx, idx_valid, mask,
                  deterministic: bool = True, use_running_average: bool = False):
         C = self.embed_channels
         ura = use_running_average
@@ -192,7 +191,7 @@ class Block(nn.Module):
             pe_bias=self.pe_bias,
             grouped_linear=self.grouped_linear,
             dtype=self.dtype,
-        )(h, coord, idx, idx_valid, mask, deterministic, ura)
+        )(h, pos, idx, idx_valid, mask, deterministic, ura)
         h = nn.relu(PointBatchNorm(C)(h, mask, ura))
         h = PointBatchNorm(C)(
             nn.Dense(C, use_bias=False, dtype=self.dtype)(h), mask, ura
@@ -220,11 +219,15 @@ class BlockSequence(nn.Module):
     def __call__(self, feat, coord, mask, knn_cache=None,
                  deterministic: bool = True, use_running_average: bool = False):
         # Neighbour graph: reuse a cached one for these coordinates if the
-        # caller has it (encoder/decoder stages share resolutions).
+        # caller has it (encoder/decoder stages share resolutions). The
+        # relative neighbour positions ride the cache too — the (B,N,S,3)
+        # gather is row-bound (~8ms at 40k points) and identical for every
+        # block at a resolution.
         if knn_cache is not None:
-            idx, idx_valid = knn_cache
+            idx, idx_valid, pos = knn_cache
         else:
             idx, _, idx_valid = _self_knn(coord, mask, self.neighbours)
+            pos = grouping_with_rel_coord(coord, coord, idx, idx_valid)
         rates = list(self.drop_path_rates) or [0.0] * self.depth
         # enable_checkpoint is the reference's per-block activation
         # rematerialisation flag; here it maps to jax.checkpoint via nn.remat.
@@ -244,8 +247,8 @@ class BlockSequence(nn.Module):
                 drop_path_rate=rates[i],
                 grouped_linear=self.grouped_linear,
                 dtype=self.dtype,
-            )(feat, coord, idx, idx_valid, mask, deterministic, use_running_average)
-        return feat, (idx, idx_valid)
+            )(feat, pos, idx, idx_valid, mask, deterministic, use_running_average)
+        return feat, (idx, idx_valid, pos)
 
 
 class GridPoolLayer(nn.Module):
