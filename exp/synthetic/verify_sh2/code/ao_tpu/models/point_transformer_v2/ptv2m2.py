@@ -26,11 +26,9 @@ replicate BatchNorm1d + SyncBN.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ao_tpu.models.builder import MODELS
@@ -44,7 +42,6 @@ from ao_tpu.ops import (
     knn_self_spatial,
     unpool_map,
 )
-from ao_tpu.ops.pallas import gva_fused as _gvaf
 
 # Below this point count the curve window covers (nearly) the whole cloud,
 # so a single probe is exact; above it, multi-probe approximate search.
@@ -75,23 +72,6 @@ class PEMLP(nn.Module):
         return nn.Dense(self.channels, dtype=self.dtype)(h)
 
 
-def _fused_gva_ok(pe_multiplier, pe_bias, grouped_linear, attn_drop, dtype):
-    """The fused TPU kernel covers the v2m2 configuration (pe bias, Dense
-    weight encoding, no attention dropout, bf16 activations)."""
-    import os
-
-    if os.environ.get("AO_GVA_FUSED", "1") == "0":
-        return False
-    return (
-        jax.default_backend() == "tpu"
-        and pe_bias
-        and not pe_multiplier
-        and not grouped_linear
-        and attn_drop == 0.0
-        and dtype == jnp.bfloat16
-    )
-
-
 class GroupedVectorAttention(nn.Module):
     embed_channels: int
     groups: int
@@ -104,23 +84,8 @@ class GroupedVectorAttention(nn.Module):
     grouped_linear: bool = False
     dtype: Optional[Any] = None  # activation/compute dtype (bf16 for speed)
 
-    def _bn_vars(self, name, feats):
-        mean = self.variable(
-            "batch_stats", f"{name}_mean", lambda: jnp.zeros(feats)
-        )
-        var = self.variable(
-            "batch_stats", f"{name}_var", lambda: jnp.ones(feats)
-        )
-        return mean, var
-
-    def _update_bn(self, mean_v, var_v, mu, var, n, momentum=0.1):
-        if not self.is_initializing():
-            unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-            mean_v.value = (1 - momentum) * mean_v.value + momentum * mu
-            var_v.value = (1 - momentum) * var_v.value + momentum * unbiased
-
     @nn.compact
-    def __call__(self, feat, coord, pos, idx, idx_valid, mask,
+    def __call__(self, feat, coord, idx, idx_valid, mask,
                  deterministic: bool = True, use_running_average: bool = False):
         C, G = self.embed_channels, self.groups
         ura = use_running_average
@@ -138,116 +103,9 @@ class GroupedVectorAttention(nn.Module):
         )
         v = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype)(feat)
 
-        if not (self.pe_bias and not self.pe_multiplier
-                and not self.grouped_linear):
-            return self._legacy_attention(
-                q, k, v, pos, idx, idx_valid, mask, deterministic, ura
-            )
-
-        # v2m2 path: raw parameters shared by the fused TPU kernel and the
-        # unfused jnp composition (ops/pallas/gva_fused.py — one source of
-        # truth for the math; parity-tested in tests/test_gva_fused.py).
-        init = nn.initializers.lecun_normal()
-        zeros, ones = nn.initializers.zeros, nn.initializers.ones
-        Wp1 = self.param("pe_w1", init, (3, C))
-        bp1 = self.param("pe_b1", zeros, (C,))
-        gp = self.param("pe_bn_scale", ones, (C,))
-        bp = self.param("pe_bn_bias", zeros, (C,))
-        Wp2 = self.param("pe_w2", init, (C, C))
-        bp2 = self.param("pe_b2", zeros, (C,))
-        W1 = self.param("we_w1", init, (C, G))
-        b1 = self.param("we_b1", zeros, (G,))
-        gw = self.param("we_bn_scale", ones, (G,))
-        bw = self.param("we_bn_bias", zeros, (G,))
-        W2 = self.param("we_w2", init, (G, G))
-        b2 = self.param("we_b2", zeros, (G,))
-        wparams = (W1, b1, gw, bw, W2, b2)
-        pe_mean, pe_var = self._bn_vars("pe_bn", C)
-        we_mean, we_var = self._bn_vars("we_bn", G)
-
-        fused = _fused_gva_ok(
-            self.pe_multiplier, self.pe_bias, self.grouped_linear,
-            self.attn_drop_rate, self.dtype,
-        )
-
-        B, N = mask.shape
-        S = idx.shape[-1]
-        bf = jnp.bfloat16
-        coord6 = _gvaf.pack_coords(coord)
-        # merged gather: k | v | packed coords fetch in one row (gathers are
-        # row-count-bound on TPU — extra lanes are free)
-        src = jnp.concatenate(
-            [k.astype(bf), v.astype(bf), coord6], axis=-1
-        )
-        kv_g = grouping(src, idx)  # no zeroing; invalid slots masked inside
-        kvp = kv_g.reshape(B, N * S, 2 * C + 6)
-        qrow = jnp.concatenate(
-            [q.astype(bf), coord6, mask[..., None].astype(bf)], axis=-1
-        )
-        validb = idx_valid.astype(bf)
-        # kernel query-tile size: VMEM per tile scales with TQ*S*C — shrink
-        # tiles for wide stages (the C=192 backward kernel OOMs at TQ=64)
-        TQ = 128 if C <= 48 else (64 if C <= 96 else 32)
-        Np = -(-N // TQ) * TQ
-        if fused and Np != N:
-            kvp = jnp.pad(kvp, ((0, 0), (0, (Np - N) * S), (0, 0)))
-            qrow = jnp.pad(qrow, ((0, 0), (0, Np - N), (0, 0)))
-            validb = jnp.pad(validb, ((0, 0), (0, Np - N), (0, 0)))
-
-        if not ura:
-            # pe-BN statistics are analytic in the rel-coord moments; the
-            # gather+reduce fuses without materialising (B,N,S,3)
-            relc = grouping_with_rel_coord(coord, coord, idx, idx_valid)
-            mf = idx_valid.astype(jnp.float32)[..., None]
-            pos_moments = (
-                jnp.sum(relc * mf, axis=(0, 1, 2)),
-                jnp.einsum("bnsi,bnsj->ij", relc * mf, relc),
-                jnp.sum(mf),
-            )
-            pos_moments = jax.tree_util.tree_map(
-                jax.lax.stop_gradient, pos_moments
-            )
-        else:
-            pos_moments = None
-
-        if ura:
-            rp = (pe_mean.value, pe_var.value)
-            rw = (we_mean.value, we_var.value)
-            if fused:
-                out = _gvaf.gva_core_eval(
-                    kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
-                    rp, rw, S, C, G, TQ,
-                )
-            else:
-                out, _, _ = _gvaf.gva_reference(
-                    kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
-                    None, S, C, G, dtype=self.dtype or jnp.float32,
-                    running_p=rp, running_w=rw,
-                )
-        elif fused:
-            out, (mu_w, var_w, n_w), (mu_p, var_p) = _gvaf.gva_core(
-                kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
-                pos_moments, S, C, G, TQ,
-            )
-            self._update_bn(pe_mean, pe_var, mu_p, var_p, pos_moments[2])
-            self._update_bn(we_mean, we_var, mu_w, var_w, n_w)
-        else:
-            out, (mu_w, var_w, n_w), (mu_p, var_p) = _gvaf.gva_reference(
-                kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
-                pos_moments, S, C, G, dtype=self.dtype or jnp.float32,
-            )
-            self._update_bn(pe_mean, pe_var, mu_p, var_p, pos_moments[2])
-            self._update_bn(we_mean, we_var, mu_w, var_w, n_w)
-        return out[:, :N]
-
-    def _legacy_attention(self, q, k, v, pos, idx, idx_valid, mask,
-                          deterministic, ura):
-        """pe-multiplier / GroupedLinear (v2m1) variants — unfused."""
-        C, G = self.embed_channels, self.groups
-        if self.dtype is not None:
-            k, v = k.astype(self.dtype), v.astype(self.dtype)
-        kv_g = grouping(jnp.concatenate([k, v], axis=-1), idx, idx_valid)
-        k_g, v_g = kv_g[..., :C], kv_g[..., C:]
+        k_g = grouping(k, idx, idx_valid)  # (B, N, ns, C)
+        v_g = grouping(v, idx, idx_valid)
+        pos = grouping_with_rel_coord(coord, coord, idx, idx_valid)
 
         relation = k_g - q[:, :, None, :]
         if self.dtype is not None:
@@ -309,7 +167,7 @@ class Block(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, feat, coord, pos, idx, idx_valid, mask,
+    def __call__(self, feat, coord, idx, idx_valid, mask,
                  deterministic: bool = True, use_running_average: bool = False):
         C = self.embed_channels
         ura = use_running_average
@@ -328,7 +186,7 @@ class Block(nn.Module):
             pe_bias=self.pe_bias,
             grouped_linear=self.grouped_linear,
             dtype=self.dtype,
-        )(h, coord, pos, idx, idx_valid, mask, deterministic, ura)
+        )(h, coord, idx, idx_valid, mask, deterministic, ura)
         h = nn.relu(PointBatchNorm(C)(h, mask, ura))
         h = PointBatchNorm(C)(
             nn.Dense(C, use_bias=False, dtype=self.dtype)(h), mask, ura
@@ -356,26 +214,16 @@ class BlockSequence(nn.Module):
     def __call__(self, feat, coord, mask, knn_cache=None,
                  deterministic: bool = True, use_running_average: bool = False):
         # Neighbour graph: reuse a cached one for these coordinates if the
-        # caller has it (encoder/decoder stages share resolutions). The
-        # relative neighbour positions ride the cache too — the (B,N,S,3)
-        # gather is row-bound (~8ms at 40k points) and identical for every
-        # block at a resolution.
+        # caller has it (encoder/decoder stages share resolutions).
         if knn_cache is not None:
-            idx, idx_valid, pos = knn_cache
+            idx, idx_valid = knn_cache
         else:
             idx, _, idx_valid = _self_knn(coord, mask, self.neighbours)
-            pos = None
-        legacy = not (self.pe_bias and not self.pe_multiplier
-                      and not self.grouped_linear)
-        if pos is None and legacy:
-            # only the pe-multiplier / v2m1 legacy path consumes pos; the
-            # v2m2 path reconstructs rel-coords from packed absolutes
-            pos = grouping_with_rel_coord(coord, coord, idx, idx_valid)
         rates = list(self.drop_path_rates) or [0.0] * self.depth
         # enable_checkpoint is the reference's per-block activation
         # rematerialisation flag; here it maps to jax.checkpoint via nn.remat.
         block_cls = (
-            nn.remat(Block, static_argnums=(7, 8))
+            nn.remat(Block, static_argnums=(6, 7))
             if self.enable_checkpoint
             else Block
         )
@@ -390,9 +238,8 @@ class BlockSequence(nn.Module):
                 drop_path_rate=rates[i],
                 grouped_linear=self.grouped_linear,
                 dtype=self.dtype,
-            )(feat, coord, pos, idx, idx_valid, mask,
-               deterministic, use_running_average)
-        return feat, (idx, idx_valid, pos)
+            )(feat, coord, idx, idx_valid, mask, deterministic, use_running_average)
+        return feat, (idx, idx_valid)
 
 
 class GridPoolLayer(nn.Module):
