@@ -176,8 +176,12 @@ def _recompute(kvp, qrow, valid_ts, A, cA, Wp2, bp2, W1x, b1x,
 
 
 def _softmax(w, valid, M):
-    mx = jnp.max(jnp.where(valid > 0, w, -1e30))
-    z = jnp.exp(w - mx) * valid
+    # Mask BEFORE the exp: a fully-padded tile (no valid slot anywhere —
+    # common at the tail of real scenes) would otherwise give
+    # mx = -1e30 -> exp(w - mx) = inf -> inf * 0 = NaN.
+    wm = jnp.where(valid > 0, w, -1e30)
+    mx = jnp.max(wm)
+    z = jnp.exp(jnp.maximum(wm - mx, -80.0)) * valid
     Z = _mtm(M, z)  # (TQ, G)
     return z / jnp.maximum(_mm(M, Z), 1e-30)
 

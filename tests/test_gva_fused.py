@@ -175,3 +175,25 @@ def test_gradient_parity_f32_exact(case, monkeypatch):
             a, b = a[..., :C], b[..., :C]
         sc = max(np.abs(b).max(), 1e-5)
         assert np.abs(a - b).max() / sc < 2e-2, nm
+
+
+def test_fully_padded_tile_finite(case):
+    """Regression: a query tile whose slots are ALL invalid (the padded
+    tail of a real scene) must produce zeros, not NaN — the tile-shared
+    softmax shift used to become -1e30 there, and exp(w + 1e30) * 0 = NaN."""
+    args, pm = case
+    kvp, qrow, valid, *rest = args
+    # invalidate every slot and mask every row in the last 2 tiles
+    valid = valid.at[:, -2 * TQ:, :].set(0)
+    qrow = qrow.at[:, -2 * TQ:, C + 6].set(0)
+    args2 = (kvp, qrow, valid, *rest)
+    o, sw_, _ = gva_core(*args2, pm, S, C, G, TQ, True)
+    assert bool(jnp.isfinite(o).all())
+    assert float(jnp.abs(o[:, -2 * TQ:]).max()) == 0.0
+    # gradients through the kernel stay finite too
+    def loss(kvp_):
+        out, _, _ = gva_core(kvp_, *args2[1:], pm, S, C, G, TQ, True)
+        return jnp.sum(out * out)
+
+    g = jax.grad(loss)(kvp)
+    assert bool(jnp.isfinite(g).all())
