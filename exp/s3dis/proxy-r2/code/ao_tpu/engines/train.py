@@ -292,16 +292,16 @@ class Trainer(TrainerBase):
                     batch["mask"],
                     False,  # deterministic
                     False,  # use_running_average
-                    mutable=["batch_stats", "diagnostics"],
+                    mutable=["batch_stats"],
                     rngs={"dropout": rng},
                 )
                 mask = batch["mask"] if logits.ndim == 3 else None
                 loss = criteria(logits, target, mask)
-                return loss, (mut["batch_stats"], mut.get("diagnostics", {}))
+                return loss, mut["batch_stats"]
 
-            (loss, (new_bs, diag)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, state.params, updates
@@ -312,15 +312,7 @@ class Trainer(TrainerBase):
                 batch_stats=new_bs,
                 opt_state=new_opt,
             )
-            metrics = {"loss": loss}
-            diag_leaves = jax.tree_util.tree_leaves(diag)
-            if diag_leaves:
-                # e.g. GridPoolLayer's capacity-overflow counter; nonzero
-                # means the static cluster caps are undersized for this batch
-                metrics["pool_overflow"] = sum(
-                    jnp.sum(x) for x in diag_leaves
-                ).astype(jnp.float32)
-            return new_state, metrics
+            return new_state, {"loss": loss}
 
         return train_step
 

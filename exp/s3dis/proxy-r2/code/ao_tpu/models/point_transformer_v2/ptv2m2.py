@@ -409,16 +409,9 @@ class GridPoolLayer(nn.Module):
         h = nn.Dense(self.out_channels, use_bias=self.bias)(feat)
         h = PointBatchNorm(self.out_channels)(h, mask, use_running_average)
         h = nn.relu(h)
-        pc, pf, pm, cluster, n_clusters = grid_pool(
+        pc, pf, pm, cluster, _ = grid_pool(
             coord, h, mask, self.grid_size, self.max_clusters
         )
-        # Observability (VERDICT r1 weak #3): clusters beyond the static cap
-        # silently merge into the last cluster — surface the overflow so the
-        # trainer can log it and tests can assert the caps are adequate.
-        overflow = jnp.sum(jnp.maximum(n_clusters - self.max_clusters, 0))
-        self.sow("diagnostics", "pool_overflow", overflow,
-                 init_fn=lambda: jnp.zeros((), jnp.int32),
-                 reduce_fn=lambda a, b: a + b)
         return pc, pf, pm, cluster
 
 

@@ -1,0 +1,40 @@
+"""PP2S offline preprocessing CLI (reference: the my_*_final.py scripts,
+SURVEY.md §3.5). Runs one stage or all of them."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ao_tpu.pp2s import PP2SPipeline  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--sam-model-type", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b", "tiny"])
+    p.add_argument(
+        "--stage", default="all",
+        choices=["embeddings", "bridges", "weak_labels", "basket",
+                 "sam_labels", "all"],
+    )
+    p.add_argument("--areas", nargs="+", default=None)
+    args = p.parse_args()
+    pipe = PP2SPipeline(
+        data_root=args.data_root,
+        sam_checkpoint=args.sam_checkpoint,
+        sam_model_type=args.sam_model_type,
+        areas=tuple(args.areas) if args.areas else
+        ("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
+    )
+    if args.stage == "all":
+        pipe.run_all()
+    else:
+        getattr(pipe, f"run_{args.stage}")()
+
+
+if __name__ == "__main__":
+    main()
