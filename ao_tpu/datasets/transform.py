@@ -406,6 +406,44 @@ def rgb_to_grayscale(color, num_output_channels=1):
     return gray
 
 
+def _rgb_to_hsv(rgb):
+    """Vectorised RGB->HSV for float arrays in [0, 1].
+
+    Returns (h, s, v) each shaped like ``rgb[..., 0]``. Hue is computed
+    from the dominant channel's offset formula; ties resolve to the first
+    maximal channel (argmax), matching colorsys.
+    """
+    v = rgb.max(-1)
+    c = v - rgb.min(-1)
+    s = np.where(v > 0, c / np.where(v > 0, v, 1.0), 0.0)
+    safe_c = np.where(c > 0, c, 1.0)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    hue_by_dom = np.stack(
+        [
+            np.mod((g - b) / safe_c, 6.0),
+            (b - r) / safe_c + 2.0,
+            (r - g) / safe_c + 4.0,
+        ],
+        axis=0,
+    )
+    h = np.take_along_axis(
+        hue_by_dom, rgb.argmax(-1)[None], axis=0
+    )[0] / 6.0
+    return np.where(c > 0, h, 0.0), s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    """Vectorised HSV->RGB (inputs in [0, 1]) via the piecewise-linear
+    "k-formula": channel_n = v - v*s*clip(min(k, 4-k), 0, 1) with
+    k = (n + 6h) mod 6 and n = 5, 3, 1 for R, G, B."""
+
+    def channel(n):
+        k = np.mod(n + h * 6.0, 6.0)
+        return v - v * s * np.clip(np.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return np.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
+
+
 @TRANSFORMS.register_module()
 class RandomColorGrayScale:
     def __init__(self, p):
@@ -434,59 +472,27 @@ class RandomColorJitter:
     @staticmethod
     def _check(value, name, center=1, bound=(0, float("inf")),
                clip_first_on_zero=True):
+        """Normalise a jitter strength into a (lo, hi) sampling range, or
+        None when it is degenerate (no-op)."""
         if isinstance(value, numbers.Number):
             if value < 0:
                 raise ValueError(f"{name} must be non-negative")
-            value = [center - float(value), center + float(value)]
+            lo, hi = center - float(value), center + float(value)
             if clip_first_on_zero:
-                value[0] = max(value[0], 0.0)
+                lo = max(lo, 0.0)
         elif isinstance(value, (tuple, list)) and len(value) == 2:
-            if not bound[0] <= value[0] <= value[1] <= bound[1]:
+            lo, hi = float(value[0]), float(value[1])
+            if not bound[0] <= lo <= hi <= bound[1]:
                 raise ValueError(f"{name} out of bounds {bound}")
         else:
             raise TypeError(f"{name} must be number or pair")
-        if value[0] == value[1] == center:
-            value = None
-        return value
+        return None if lo == hi == center else (lo, hi)
 
     @staticmethod
     def _blend(c1, c2, ratio):
         return (float(ratio) * c1 + (1.0 - float(ratio)) * c2).clip(0, 255).astype(
             c1.dtype
         )
-
-    @staticmethod
-    def _rgb2hsv(rgb):
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        maxc, minc = np.max(rgb, -1), np.min(rgb, -1)
-        eqc = maxc == minc
-        cr = maxc - minc
-        s = cr / (eqc + maxc * (1 - eqc))
-        div = eqc + cr * (1 - eqc)
-        rc, gc, bc = (maxc - r) / div, (maxc - g) / div, (maxc - b) / div
-        h = (
-            (maxc == r) * (bc - gc)
-            + ((maxc == g) & (maxc != r)) * (2.0 + rc - bc)
-            + ((maxc != g) & (maxc != r)) * (4.0 + gc - rc)
-        )
-        h = (h / 6.0 + 1.0) % 1.0
-        return np.stack((h, s, maxc), axis=-1)
-
-    @staticmethod
-    def _hsv2rgb(hsv):
-        h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-        i = np.floor(h * 6.0)
-        f = h * 6.0 - i
-        i = i.astype(np.int32) % 6
-        p = np.clip(v * (1.0 - s), 0.0, 1.0)
-        q = np.clip(v * (1.0 - s * f), 0.0, 1.0)
-        t = np.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
-        mask = (i[..., None] == np.arange(6)).astype(hsv.dtype)
-        a1 = np.stack((v, q, p, p, t, v), axis=-1)
-        a2 = np.stack((t, v, v, q, p, p), axis=-1)
-        a3 = np.stack((p, p, t, v, v, q), axis=-1)
-        a4 = np.stack((a1, a2, a3), axis=-1)
-        return np.einsum("...na, ...nab -> ...nb", mask, a4)
 
     def adjust_brightness(self, color, factor):
         return self._blend(color, np.zeros_like(color), factor)
@@ -502,9 +508,9 @@ class RandomColorJitter:
         if not -0.5 <= factor <= 0.5:
             raise ValueError("hue factor out of range")
         orig_dtype = color.dtype
-        hsv = self._rgb2hsv(color / 255.0)
-        hsv[..., 0] = (hsv[..., 0] + factor) % 1.0
-        return (self._hsv2rgb(hsv) * 255.0).astype(orig_dtype)
+        h, s, v = _rgb_to_hsv(color / 255.0)
+        rgb = _hsv_to_rgb(np.mod(h + factor, 1.0), s, v)
+        return (rgb * 255.0).astype(orig_dtype)
 
     def __call__(self, data_dict):
         if "color" not in data_dict:
@@ -537,48 +543,10 @@ class RandomColorJitter:
 
 @TRANSFORMS.register_module()
 class HueSaturationTranslation:
-    """HSV-space hue/saturation jitter (colorsys semantics like the
-    reference: transform.py HueSaturationTranslation)."""
-
-    @staticmethod
-    def rgb_to_hsv(rgb):
-        rgb = rgb.astype("float")
-        hsv = np.zeros_like(rgb)
-        hsv[..., 3:] = rgb[..., 3:]
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        maxc = np.max(rgb[..., :3], axis=-1)
-        minc = np.min(rgb[..., :3], axis=-1)
-        hsv[..., 2] = maxc
-        mask = maxc != minc
-        hsv[mask, 1] = (maxc - minc)[mask] / maxc[mask]
-        rc = np.zeros_like(r)
-        gc = np.zeros_like(g)
-        bc = np.zeros_like(b)
-        rc[mask] = (maxc - r)[mask] / (maxc - minc)[mask]
-        gc[mask] = (maxc - g)[mask] / (maxc - minc)[mask]
-        bc[mask] = (maxc - b)[mask] / (maxc - minc)[mask]
-        hsv[..., 0] = np.select(
-            [r == maxc, g == maxc], [bc - gc, 2.0 + rc - bc], default=4.0 + gc - rc
-        )
-        hsv[..., 0] = (hsv[..., 0] / 6.0) % 1.0
-        return hsv
-
-    @staticmethod
-    def hsv_to_rgb(hsv):
-        rgb = np.empty_like(hsv)
-        rgb[..., 3:] = hsv[..., 3:]
-        h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-        i = (h * 6.0).astype("uint8")
-        f = h * 6.0 - i
-        p = v * (1.0 - s)
-        q = v * (1.0 - s * f)
-        t = v * (1.0 - s * (1.0 - f))
-        i = i % 6
-        conditions = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
-        rgb[..., 0] = np.select(conditions, [v, q, p, p, t, v], default=v)
-        rgb[..., 1] = np.select(conditions, [v, v, v, q, p, p], default=t)
-        rgb[..., 2] = np.select(conditions, [v, p, t, v, v, q], default=p)
-        return rgb.astype("uint8")
+    """HSV-space hue shift + saturation scaling (same augmentation contract
+    as the reference's HueSaturationTranslation: one uniform hue offset in
+    [-hue_max, hue_max] and one saturation ratio in [1±saturation_max] per
+    scene), built on this module's own HSV conversions."""
 
     def __init__(self, hue_max=0.5, saturation_max=0.2):
         self.hue_max = hue_max
@@ -586,12 +554,15 @@ class HueSaturationTranslation:
 
     def __call__(self, data_dict):
         if "color" in data_dict:
-            hsv = self.rgb_to_hsv(data_dict["color"][:, :3])
-            hue_val = (np.random.rand() - 0.5) * 2 * self.hue_max
-            sat_ratio = 1 + (np.random.rand() - 0.5) * 2 * self.saturation_max
-            hsv[..., 0] = np.remainder(hue_val + hsv[..., 0] + 1, 1)
-            hsv[..., 1] = np.clip(sat_ratio * hsv[..., 1], 0, 1)
-            data_dict["color"][:, :3] = np.clip(self.hsv_to_rgb(hsv), 0, 255)
+            h, s, v = _rgb_to_hsv(data_dict["color"][:, :3] / 255.0)
+            h = np.mod(h + np.random.uniform(-self.hue_max, self.hue_max), 1.0)
+            s = np.clip(
+                s * (1 + np.random.uniform(-self.saturation_max,
+                                           self.saturation_max)),
+                0.0, 1.0,
+            )
+            rgb = np.clip(_hsv_to_rgb(h, s, v) * 255.0, 0, 255)
+            data_dict["color"][:, :3] = rgb
         return data_dict
 
 
@@ -618,32 +589,38 @@ class ElasticDistortion:
 
     @staticmethod
     def elastic_distortion(coords, granularity, magnitude):
-        import scipy.interpolate
-        import scipy.ndimage
+        """Displace points by a random smooth vector field.
 
-        blurs = [
-            np.ones((3, 1, 1, 1), np.float32) / 3,
-            np.ones((1, 3, 1, 1), np.float32) / 3,
-            np.ones((1, 1, 3, 1), np.float32) / 3,
-        ]
-        coords_min = coords.min(0)
-        noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
-        noise = np.random.randn(*noise_dim, 3).astype(np.float32)
+        White noise is drawn on a coarse grid of spacing ``granularity``,
+        low-passed by two rounds of a 3-tap box blur per axis, and sampled
+        trilinearly at each point; ``magnitude`` scales the displacement.
+        Matches the augmentation contract of the reference's
+        ElasticDistortion (transform.py) with an own implementation on
+        scipy.ndimage (uniform_filter + map_coordinates).
+        """
+        from scipy import ndimage
+
+        mins = coords.min(0)
+        # one grid cell of padding on every side so boundary points sample
+        # a defined (blurred) field
+        dims = ((coords.max(0) - mins) // granularity).astype(int) + 3
+        field = np.random.randn(*dims, 3).astype(np.float32)
         for _ in range(2):
-            for blur in blurs:
-                noise = scipy.ndimage.convolve(noise, blur, mode="constant", cval=0)
-        ax = [
-            np.linspace(d_min, d_max, d)
-            for d_min, d_max, d in zip(
-                coords_min - granularity,
-                coords_min + granularity * (noise_dim - 2),
-                noise_dim,
+            field = ndimage.uniform_filter(
+                field, size=(3, 3, 3, 1), mode="constant"
             )
-        ]
-        interp = scipy.interpolate.RegularGridInterpolator(
-            ax, noise, bounds_error=False, fill_value=0
+        # grid index of each point; +1 accounts for the padding ring
+        gidx = ((coords - mins) / granularity + 1.0).T  # (3, N)
+        disp = np.stack(
+            [
+                ndimage.map_coordinates(
+                    field[..., c], gidx, order=1, mode="constant"
+                )
+                for c in range(3)
+            ],
+            axis=-1,
         )
-        return coords + interp(coords) * magnitude
+        return coords + disp * magnitude
 
     def __call__(self, data_dict):
         if "coord" in data_dict and self.distortion_params is not None:
@@ -662,6 +639,14 @@ class GridSample:
     train mode: keep one random point per voxel; test mode: emit
     ``count.max()`` complementary fragments that jointly cover every point
     (each with an ``index`` map back to the full scene).
+
+    Provenance note: the control flow and the FNV-1a / ravel hashing
+    deliberately FOLLOW the reference implementation — SURVEY.md §7
+    requires bit-identical voxel assignment and per-voxel sampling
+    semantics so that per-scene logits can be parity-tested against the
+    reference; any own-idiom hash would voxelise scenes differently and
+    make logit-fidelity checks meaningless. (FNV-1a itself is the public
+    Fowler–Noll–Vo algorithm.)
     """
 
     def __init__(

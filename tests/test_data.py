@@ -252,3 +252,52 @@ class TestLoaderAndDatasets:
                  num_points=64, loop=3, transform=[])
         )
         assert len(ds) == 12
+
+
+class TestColorConversionHelpers:
+    """The own-idiom HSV conversions must match colorsys (the ground truth
+    the reference's conversions were derived from)."""
+
+    def test_roundtrip_and_colorsys_parity(self):
+        import colorsys
+        from ao_tpu.datasets.transform import _rgb_to_hsv, _hsv_to_rgb
+
+        g = np.random.default_rng(0)
+        rgb = g.uniform(0, 1, (200, 3)).astype(np.float64)
+        h, s, v = _rgb_to_hsv(rgb)
+        back = _hsv_to_rgb(h, s, v)
+        assert np.allclose(back, rgb, atol=1e-6)
+        for i in range(0, 200, 17):
+            hh, ss, vv = colorsys.rgb_to_hsv(*rgb[i])
+            assert abs(h[i] - hh) < 1e-6 or abs(abs(h[i] - hh) - 1.0) < 1e-6
+            assert abs(s[i] - ss) < 1e-6
+            assert abs(v[i] - vv) < 1e-6
+
+    def test_grey_pixels_stable(self):
+        from ao_tpu.datasets.transform import _rgb_to_hsv, _hsv_to_rgb
+
+        grey = np.full((5, 3), 0.5)
+        h, s, v = _rgb_to_hsv(grey)
+        assert np.all(s == 0) and np.all(v == 0.5)
+        assert np.allclose(_hsv_to_rgb(h + 0.3, s, v), grey)
+
+    def test_elastic_distortion_scale(self):
+        """Displacement amplitude scales linearly with magnitude and the
+        field is smooth (nearby points move together)."""
+        from ao_tpu.datasets.transform import ElasticDistortion
+
+        g = np.random.default_rng(3)
+        coords = g.uniform(0, 4, (4000, 3)).astype(np.float32)
+        np.random.seed(11)
+        out1 = ElasticDistortion.elastic_distortion(coords, 0.5, 1.0)
+        np.random.seed(11)
+        out2 = ElasticDistortion.elastic_distortion(coords, 0.5, 2.0)
+        d1 = out1 - coords
+        d2 = out2 - coords
+        assert np.allclose(d2, 2 * d1, atol=1e-5)
+        assert 0 < np.abs(d1).max() < 1.0
+        # smoothness: displacement difference of close point pairs is small
+        pair = coords + 0.02
+        np.random.seed(11)
+        out3 = ElasticDistortion.elastic_distortion(pair, 0.5, 1.0)
+        assert np.abs((out3 - pair) - d1).max() < 0.2 * max(np.abs(d1).max(), 1e-9)
