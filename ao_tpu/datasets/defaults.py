@@ -117,8 +117,10 @@ class DefaultDataset:
     def prepare_test_data(self, idx):
         data_dict = self.get_data(idx)
         segment = data_dict.pop("segment")
-        data_dict = self.transform(data_dict)
         result_dict = dict(segment=segment, name=self.get_data_name(idx))
+        if "category" in data_dict:  # part-seg: shape class rides along
+            result_dict["category"] = data_dict["category"]
+        data_dict = self.transform(data_dict)
 
         fragment_list = []
         for aug in self.aug_transform:

@@ -76,23 +76,25 @@ class TesterBase:
             jnp.asarray, self.state.batch_stats
         )
 
-    def forward(self, coord, feat, mask):
+    def forward(self, coord, feat, mask, category=None):
         """Jitted eval forward, cached per padded shape bucket."""
-        key = (coord.shape, feat.shape)
+        key = (coord.shape, feat.shape, category is not None)
         if key not in self._fwd_cache:
             model = self.model
 
             @jax.jit
-            def fwd(params, batch_stats, coord, feat, mask):
+            def fwd(params, batch_stats, coord, feat, mask, category=None):
+                kwargs = {} if category is None else {"category": category}
                 return model.apply(
                     {"params": params, "batch_stats": batch_stats},
-                    coord, feat, mask, True, True,
+                    coord, feat, mask, True, True, **kwargs,
                 )
 
             self._fwd_cache[key] = fwd
-        return self._fwd_cache[key](
-            self.state.params, self.state.batch_stats, coord, feat, mask
-        )
+        args = (self.state.params, self.state.batch_stats, coord, feat, mask)
+        if category is not None:
+            return self._fwd_cache[key](*args, category=category)
+        return self._fwd_cache[key](*args)
 
 
 @TEST.register_module()
@@ -287,13 +289,29 @@ class PartSegTester(TesterBase):
             sample = dataset[idx]
             label = np.asarray(sample["segment"]).reshape(-1)
             cat_idx = int(np.asarray(sample["category"]).reshape(-1)[0])
-            batch = collate_fn([sample], pad_multiple=pad_multiple)
-            logits = self.forward(
-                jnp.asarray(batch["coord"]),
-                jnp.asarray(batch["feat"]),
-                jnp.asarray(batch["mask"]),
-            )
-            probs = np.asarray(jax.nn.softmax(logits[0], axis=-1))[: label.size]
+            category = jnp.asarray(np.asarray([cat_idx], np.int32))
+            # vote softmax logits over the TTA views (reference
+            # test.py:316-410 sums predictions over `aug_transform` views);
+            # each view's `index` maps its points back to the shape
+            views = sample.get("fragment_list") or [sample]
+            probs = np.zeros((label.size, K), np.float64)
+            counts = np.zeros((label.size, 1), np.float64)
+            for view in views:
+                batch = collate_fn([view], pad_multiple=pad_multiple)
+                logits = self.forward(
+                    jnp.asarray(batch["coord"]),
+                    jnp.asarray(batch["feat"]),
+                    jnp.asarray(batch["mask"]),
+                    category=category,
+                )
+                m = np.asarray(batch["mask"][0])
+                p = np.asarray(jax.nn.softmax(logits[0], axis=-1))[m]
+                vidx = np.asarray(
+                    view.get("index", np.arange(label.size))
+                ).reshape(-1)
+                np.add.at(probs, vidx, p[: vidx.size])
+                np.add.at(counts, vidx, 1.0)
+            probs /= np.maximum(counts, 1.0)
             pred = probs.argmax(-1)
 
             category = categories[cat_idx]

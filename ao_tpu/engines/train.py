@@ -33,11 +33,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ao_tpu.datasets import build_dataset, point_collate_fn, collate_fn
 from ao_tpu.datasets.loader import DataLoader, ShardedSampler
 from ao_tpu.models import build_criteria, build_model
+from ao_tpu.models.default import _accepts_category
 from ao_tpu.utils import EventStorage, TensorboardWriter, get_root_logger, set_seed
 from ao_tpu.utils.misc import intersection_and_union_jax
 from ao_tpu.utils.optimizer import build_optimizer, lr_at_step
 
 from .hooks import HookBase, build_hooks
+
+
+
+def _category_kwargs(model, batch):
+    """Part-seg backbones condition on the shape class: pass it through
+    when the batch carries BOTH a segment target and a category input (for
+    classification batches `category` is the target, never an input)."""
+    if (
+        "category" in batch
+        and "segment" in batch
+        and _accepts_category(model)
+    ):
+        return {"category": batch["category"]}
+    return {}
 
 
 class TrainState(struct.PyTreeNode):
@@ -294,6 +309,7 @@ class Trainer(TrainerBase):
                     False,  # use_running_average
                     mutable=["batch_stats", "diagnostics"],
                     rngs={"dropout": rng},
+                    **_category_kwargs(model, batch),
                 )
                 mask = batch["mask"] if logits.ndim == 3 else None
                 loss = criteria(logits, target, mask)
@@ -335,6 +351,7 @@ class Trainer(TrainerBase):
             logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch["coord"], batch["feat"], batch["mask"], True, True,
+                **_category_kwargs(model, batch),
             )
             mask = batch["mask"] if logits.ndim == 3 else None
             loss = criteria(logits, target, mask)
@@ -352,6 +369,7 @@ class Trainer(TrainerBase):
                 batch["mask"],
                 True,
                 True,
+                **_category_kwargs(model, batch),
             )
             mask = batch["mask"] if logits.ndim == 3 else None
             loss = criteria(logits, target, mask)

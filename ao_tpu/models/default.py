@@ -19,13 +19,28 @@ from .builder import MODELS
 from .utils import PointBatchNorm
 
 
+def _accepts_category(module) -> bool:
+    import inspect
+
+    try:
+        return "category" in inspect.signature(type(module).__call__).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 @MODELS.register_module()
 class DefaultSegmentor(nn.Module):
     backbone: Any = None
 
     @nn.compact
     def __call__(self, coord, feat, mask, deterministic: bool = True,
-                 use_running_average: bool = False):
+                 use_running_average: bool = False, category=None):
+        if category is not None and _accepts_category(self.backbone):
+            # part-seg backbones condition on the shape class
+            return self.backbone(
+                coord, feat, mask, deterministic, use_running_average,
+                category=category,
+            )
         return self.backbone(coord, feat, mask, deterministic, use_running_average)
 
 

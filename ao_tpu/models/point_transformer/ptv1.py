@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -123,10 +124,12 @@ class TransitionDown(nn.Module):
 class TransitionUp(nn.Module):
     in_planes: int
     out_planes: int = 0  # 0 -> head (global context concat)
+    num_shape_classes: int = 0  # >0 -> PartSeg: concat shape-class embedding
+    shape_embed_dim: int = 1024
 
     @nn.compact
     def __call__(self, coord, feat, mask, skip_coord=None, skip_feat=None,
-                 skip_mask=None, use_running_average=False):
+                 skip_mask=None, use_running_average=False, category=None):
         ura = use_running_average
         if self.out_planes == 0:
             mm = mask[..., None].astype(feat.dtype)
@@ -134,9 +137,22 @@ class TransitionUp(nn.Module):
             gmean = (feat * mm).sum(axis=1) / cnt  # (B, C)
             g = nn.Dense(self.in_planes)(gmean)
             g = nn.relu(g)
-            h = jnp.concatenate(
-                [feat, jnp.broadcast_to(g[:, None, :], feat.shape)], axis=-1
-            )
+            parts = [feat, jnp.broadcast_to(g[:, None, :], feat.shape)]
+            if self.num_shape_classes:
+                # PartSeg conditioning (reference:
+                # point_transformer_partseg.py:143-178): one-hot shape
+                # class -> Linear(1024) -> ReLU, broadcast to every point
+                onehot = jax.nn.one_hot(
+                    category.reshape(-1), self.num_shape_classes,
+                    dtype=feat.dtype,
+                )
+                y = nn.relu(nn.Dense(self.shape_embed_dim)(onehot))
+                parts.append(
+                    jnp.broadcast_to(
+                        y[:, None, :], feat.shape[:2] + (self.shape_embed_dim,)
+                    )
+                )
+            h = jnp.concatenate(parts, axis=-1)
             h = nn.Dense(self.in_planes)(h)
             h = PointBatchNorm(self.in_planes)(h, mask, ura)
             return nn.relu(h)
@@ -225,6 +241,64 @@ class PointTransformerSeg(nn.Module):
         return nn.Dense(self.num_classes)(g)
 
 
+class PointTransformerPartSeg(nn.Module):
+    """PT-v1 part segmentation (reference:
+    point_transformer_partseg.py:216-351): the Seg U-Net with the decoder
+    head conditioned on the shape category via a one-hot -> Dense(1024)
+    embedding concatenated into the innermost TransitionUp."""
+
+    blocks: Tuple[int, ...]
+    in_channels: int = 6
+    num_classes: int = 50
+    share_planes: int = 8
+    num_shape_classes: int = 16
+
+    @nn.compact
+    def __call__(self, coord, feat, mask, deterministic=True,
+                 use_running_average=False, category=None):
+        ura = use_running_average
+        if category is None:
+            category = jnp.zeros((coord.shape[0],), jnp.int32)
+        skips = []
+        in_planes = self.in_channels
+        c, h, mk = coord, feat, mask
+        for s in range(5):
+            c, h, mk = TransitionDown(
+                in_planes, _PLANES[s], _STRIDE[s], _NSAMPLE[s],
+                name=f"enc{s+1}_down",
+            )(c, h, mk, ura)
+            for b in range(self.blocks[s]):
+                h = Bottleneck(
+                    _PLANES[s], self.share_planes, _NSAMPLE[s],
+                    name=f"enc{s+1}_block{b}",
+                )(c, h, mk, ura)
+            in_planes = _PLANES[s]
+            skips.append((c, h, mk))
+
+        c, h, mk = skips[-1]
+        h = TransitionUp(
+            _PLANES[4], 0, num_shape_classes=self.num_shape_classes,
+            name="dec5_up",
+        )(c, h, mk, None, None, None, ura, category)
+        h = Bottleneck(_PLANES[4], self.share_planes, _NSAMPLE[4],
+                       name="dec5_block0")(c, h, mk, ura)
+        for s in reversed(range(4)):
+            sc, sh, sm = skips[s]
+            h = TransitionUp(_PLANES[s + 1], _PLANES[s], name=f"dec{s+1}_up")(
+                c, h, mk, sc, sh, sm, ura
+            )
+            c, mk = sc, sm
+            h = Bottleneck(
+                _PLANES[s], self.share_planes, _NSAMPLE[s],
+                name=f"dec{s+1}_block0",
+            )(c, h, mk, ura)
+
+        g = nn.Dense(_PLANES[0])(h)
+        g = PointBatchNorm(_PLANES[0])(g, mk, ura)
+        g = nn.relu(g)
+        return nn.Dense(self.num_classes)(g)
+
+
 class PointTransformerCls(nn.Module):
     blocks: Tuple[int, ...]
     in_channels: int = 6
@@ -289,3 +363,18 @@ MODELS.register_module(name="PointTransformer-Cls38",
                        module=_cls_factory((1, 2, 2, 2, 2)))
 MODELS.register_module(name="PointTransformer-Cls50",
                        module=_cls_factory((1, 2, 3, 5, 2)))
+
+
+def _partseg_factory(blocks):
+    def make(**kwargs):
+        return PointTransformerPartSeg(blocks=blocks, **kwargs)
+
+    return make
+
+
+MODELS.register_module(name="PointTransformer-PartSeg26",
+                       module=_partseg_factory((1, 1, 1, 1, 1)))
+MODELS.register_module(name="PointTransformer-PartSeg38",
+                       module=_partseg_factory((1, 2, 2, 2, 2)))
+MODELS.register_module(name="PointTransformer-PartSeg50",
+                       module=_partseg_factory((1, 2, 3, 5, 2)))

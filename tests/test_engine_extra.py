@@ -1,3 +1,7 @@
+import os
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -97,3 +101,105 @@ class TestInsSegAP:
         # fails 0.25 but is void-ignored, so AP@25 is 0 w/ hard FN... the GT
         # goes unmatched -> recall 0 -> ap 0
         assert ap[1, i25] == pytest.approx(0.0)
+
+
+@pytest.mark.slow
+class TestPartSegTesterTTA:
+    """PartSegTester votes softmax over TTA views and conditions the
+    forward on the shape category (reference test.py:316-410)."""
+
+    def _make_fixture(self, root):
+        import json
+
+        os.makedirs(os.path.join(root, "train_test_split"), exist_ok=True)
+        with open(os.path.join(root, "synsetoffset2category.txt"), "w") as f:
+            f.write("Airplane\t02691156\nBag\t02773838\n")
+        g = np.random.default_rng(0)
+        rel = []
+        for token, parts in (("02691156", [0, 1]), ("02773838", [4, 5])):
+            os.makedirs(os.path.join(root, token), exist_ok=True)
+            pts = np.concatenate(
+                [
+                    g.uniform(0, 1, (384, 3)),
+                    g.normal(size=(384, 3)),
+                    g.choice(parts, (384, 1)).astype(float),
+                ],
+                axis=1,
+            )
+            name = f"shape_{token}"
+            np.savetxt(os.path.join(root, token, name + ".txt"), pts)
+            rel.append(f"shape_data/{token}/{name}")
+        with open(
+            os.path.join(root, "train_test_split",
+                         "shuffled_test_file_list.json"), "w"
+        ) as f:
+            json.dump(rel, f)
+
+    def test_votes_over_views(self, tmp_path):
+        from ao_tpu.engines.test import TEST
+        from ao_tpu.models import build_model
+        from ao_tpu.utils.config import Config
+
+        root = str(tmp_path / "shapenet")
+        self._make_fixture(root)
+        cfg = Config(
+            dict(
+                save_path=str(tmp_path / "exp"),
+                pad_multiple=128,
+                data=dict(
+                    num_classes=50,
+                    ignore_index=-1,
+                    test=dict(
+                        type="ShapeNetPartDataset",
+                        split="test",
+                        data_root=root,
+                        transform=[],
+                        test_mode=True,
+                        test_cfg=dict(
+                            voxelize=None,
+                            crop=None,
+                            post_transform=[
+                                dict(type="ToTensor"),
+                                dict(type="Collect", keys=("coord", "index"),
+                                     feat_keys=("coord", "normal")),
+                            ],
+                            aug_transform=[
+                                [dict(type="RandomScale", scale=[0.9, 0.9])],
+                                [dict(type="RandomScale", scale=[1.1, 1.1])],
+                            ],
+                        ),
+                    ),
+                ),
+                model=dict(
+                    type="DefaultSegmentor",
+                    backbone=dict(type="PointTransformer-PartSeg26",
+                                  in_channels=6, num_classes=50,
+                                  num_shape_classes=16),
+                ),
+            )
+        )
+        os.makedirs(cfg.save_path, exist_ok=True)
+        model = build_model(dict(cfg.model))
+        coord = jnp.zeros((1, 512, 3))
+        feat = jnp.zeros((1, 512, 6))
+        mask = jnp.ones((1, 512), bool)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask,
+            category=jnp.zeros((1,), jnp.int32),
+        )
+
+        tester = TEST.build(dict(type="PartSegTester", verbose=False))
+
+        class _T:
+            pass
+
+        t = _T()
+        t.model = model
+        t.state = _T()
+        t.state.params = variables["params"]
+        t.state.batch_stats = variables.get("batch_stats", {})
+        t.cfg = cfg
+        tester.trainer = t
+        res = tester()
+        assert 0.0 <= res["ins_mIoU"] <= 1.0
+        assert 0.0 <= res["cat_mIoU"] <= 1.0

@@ -105,6 +105,7 @@ def test_eval_mode_parity(case):
     assert float(jnp.max(jnp.abs(oe - roe))) < 0.05
 
 
+@pytest.mark.slow
 def test_gradient_parity(case):
     """Hand-written bwd vs autodiff of the reference: parameter gradients
     must agree to bf16-accumulation tolerance."""

@@ -104,6 +104,7 @@ class TestPTv2:
         assert logits.shape == (2, 256, 5)
         assert np.isfinite(np.asarray(logits)).all()
 
+    @pytest.mark.slow
     def test_padding_invariance(self, rng):
         """Adding pad points must not change valid-point logits (eval mode,
         running stats frozen)."""
@@ -126,6 +127,7 @@ class TestPTv2:
             rtol=1e-3, atol=1e-4,
         )
 
+    @pytest.mark.slow
     def test_grad_flows(self, rng):
         coord, feat, mask = make_batch(rng, B=1, N=128)
         segment = jnp.asarray(
@@ -158,6 +160,7 @@ class TestPTv2:
         assert logits.shape == (1, 128, 5)
         assert np.isfinite(np.asarray(logits)).all()
 
+    @pytest.mark.slow
     def test_classifier_wrapper(self, rng):
         coord, feat, mask = make_batch(rng, B=2, N=128)
         cfg = tiny_ptv2_cfg()
@@ -242,6 +245,7 @@ class TestLosses:
 
 
 class TestPTv1:
+    @pytest.mark.slow
     def test_seg_forward(self, rng):
         from ao_tpu.models import build_model
 
@@ -259,6 +263,7 @@ class TestPTv1:
         assert logits.shape == (1, 512, 13)
         assert np.isfinite(np.asarray(logits)).all()
 
+    @pytest.mark.slow
     def test_cls_forward(self, rng):
         from ao_tpu.models import build_model
 
@@ -366,6 +371,7 @@ class TestSparseConvOps:
 
 
 class TestSpUNet:
+    @pytest.mark.slow
     def test_forward_and_grad(self, rng):
         from ao_tpu.models import build_model, build_criteria
 
@@ -511,6 +517,7 @@ class TestPointGroup:
         assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 class TestBackboneZoo:
     """Every registered backbone family builds and produces finite logits."""
 
@@ -645,3 +652,123 @@ class TestGridPoolOverflowDiagnostic:
             int(x) for x in jax.tree_util.tree_leaves(state["diagnostics"])
         )
         assert total == (16 - 10) + (16 - 12)
+
+
+class TestPointTransformerPartSeg:
+    """PT-v1 PartSeg (reference point_transformer_partseg.py:216-377):
+    decoder conditioned on the shape class."""
+
+    def _build(self):
+        from ao_tpu.models import build_model
+
+        return build_model(dict(
+            type="DefaultSegmentor",
+            backbone=dict(type="PointTransformer-PartSeg26", in_channels=6,
+                          num_classes=50, num_shape_classes=16),
+        ))
+
+    @pytest.mark.slow
+    def test_forward_shape_and_conditioning(self, rng):
+        model = self._build()
+        coord, feat, mask = make_batch(rng, B=2, N=512)
+        cat = jnp.asarray(np.array([3, 7], np.int32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask,
+            category=cat,
+        )
+        logits, _ = model.apply(
+            variables, coord, feat, mask, True, True, category=cat,
+            mutable=["batch_stats"],
+        )
+        assert logits.shape == (2, 512, 50)
+        assert np.isfinite(np.asarray(logits)).all()
+        # a different shape class must change the prediction
+        logits2, _ = model.apply(
+            variables, coord, feat, mask, True, True,
+            category=jnp.asarray(np.array([5, 7], np.int32)),
+            mutable=["batch_stats"],
+        )
+        d = np.abs(np.asarray(logits - logits2))
+        assert d[0].max() > 1e-4      # scene 0: class changed
+        assert d[1].max() < 1e-5      # scene 1: unchanged
+
+    def test_all_partseg_variants_registered(self):
+        from ao_tpu.models.builder import MODELS
+
+        for name in ("PointTransformer-PartSeg26",
+                     "PointTransformer-PartSeg38",
+                     "PointTransformer-PartSeg50"):
+            assert name in MODELS
+
+
+class TestBackboneZooConstruction:
+    """Fast-tier coverage for every registered backbone family: building
+    the flax module from its config must succeed (forward passes live in
+    the slow tier, TestBackboneZoo)."""
+
+    def test_all_registered_backbones_construct(self):
+        from ao_tpu.models.builder import MODELS
+
+        configs = [
+            dict(type="PT-v2m2", in_channels=6, num_classes=5,
+                 enc_depths=(1,), enc_channels=(16,), enc_groups=(4,),
+                 enc_neighbours=(8,), dec_depths=(1,), dec_channels=(8,),
+                 dec_groups=(2,), dec_neighbours=(8,), grid_sizes=(0.3,),
+                 patch_embed_depth=1, patch_embed_channels=8,
+                 patch_embed_groups=2, patch_embed_neighbours=8,
+                 stage_cap_ratios=(1.0,)),
+            dict(type="PT-v2m1", in_channels=6, num_classes=5,
+                 enc_depths=(1,), enc_channels=(16,), enc_groups=(4,),
+                 enc_neighbours=(8,), dec_depths=(1,), dec_channels=(8,),
+                 dec_groups=(2,), dec_neighbours=(8,), grid_sizes=(0.3,),
+                 patch_embed_depth=1, patch_embed_channels=8,
+                 patch_embed_groups=2, patch_embed_neighbours=8,
+                 stage_cap_ratios=(1.0,)),
+            dict(type="PointTransformer-Seg26", in_channels=6, num_classes=5),
+            dict(type="PointTransformer-Cls26", in_channels=6, num_classes=5),
+            dict(type="PointTransformer-PartSeg26", in_channels=6,
+                 num_classes=50, num_shape_classes=16),
+            dict(type="SpUNet-v1m1", in_channels=6, num_classes=5,
+                 base_channels=8, channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                 layers=(1,) * 8),
+            dict(type="SpUNet-v1m2", in_channels=6, num_classes=5,
+                 base_channels=8, channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                 layers=(1,) * 8),
+            dict(type="MinkUNet14", in_channels=6, num_classes=5),
+            dict(type="SPVCNN", in_channels=6, out_channels=5,
+                 base_channels=8, channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                 layers=(1,) * 8),
+            dict(type="ST-v1m1", in_channels=6, num_classes=5,
+                 channels=(8, 16), num_heads=(2, 2), depths=(1, 1),
+                 window_sizes=(0.5, 1.0), quant_sizes=(0.02, 0.04),
+                 grid_sizes=(0.3,), window_capacity=32,
+                 stage_cap_ratios=(0.6,)),
+            dict(type="OctFormer-v1m1", in_channels=6, num_classes=5,
+                 channels=(8, 16), num_heads=(2, 2), depths=(1, 1),
+                 patch_size=16, dilation=2, grid_sizes=(0.3,),
+                 stage_cap_ratios=(0.6,)),
+            dict(type="Swin3D-v1m1", in_channels=6, num_classes=5,
+                 base_grid_size=0.1, channels=(8, 16), num_heads=(2, 2),
+                 depths=(1, 1), window_sizes=(3, 3),
+                 stage_cap_ratios=(0.6,)),
+            dict(type="PG-v1m1",
+                 backbone=dict(type="SpUNet-v1m1", in_channels=6,
+                               num_classes=0, base_channels=8,
+                               channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                               layers=(1,) * 8),
+                 backbone_out_channels=8, semantic_num_classes=5),
+            dict(type="MSC-v1m1",
+                 backbone=dict(type="SpUNet-v1m1", in_channels=6,
+                               num_classes=0, base_channels=8,
+                               channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                               layers=(1,) * 8),
+                 backbone_in_channels=6, backbone_out_channels=8),
+            dict(type="CAC-v1m1",
+                 backbone=dict(type="SpUNet-v1m1", in_channels=6,
+                               num_classes=0, base_channels=8,
+                               channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                               layers=(1,) * 8),
+                 num_classes=5, backbone_out_channels=8),
+        ]
+        for cfg in configs:
+            assert MODELS.build(dict(cfg)) is not None, cfg["type"]

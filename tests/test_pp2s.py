@@ -117,6 +117,7 @@ class TestMaskVote:
         assert res[3] == -1 and res[4] == -1  # no votes
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_sam_labels_synthetic_scene(self, rng, room, tmp_path):
         from ao_tpu.models.sam import SamConfig, SamModel, SamPredictor

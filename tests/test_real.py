@@ -159,6 +159,7 @@ def real_workspace(tmp_path, rng):
     )
 
 
+@pytest.mark.slow
 class TestRealEndToEnd:
     def test_one_epoch(self, real_workspace, tmp_path):
         from ao_tpu.utils.config import Config

@@ -55,6 +55,7 @@ def flax_sam(torch_tiny_sam):
     return model, {"params": params}
 
 
+@pytest.mark.slow
 class TestSamParity:
     def test_vision_encoder_matches(self, rng, torch_tiny_sam, flax_sam):
         import torch
