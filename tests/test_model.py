@@ -772,3 +772,61 @@ class TestBackboneZooConstruction:
         ]
         for cfg in configs:
             assert MODELS.build(dict(cfg)) is not None, cfg["type"]
+
+
+class TestSwin3DCRSE:
+    """Swin3D's contextual relative signal embedding (reference
+    swin3d_v1m1_base.py:32,44, swin3d_layers.py:383-577): attention must
+    consume the color signal through learned q/k/v tables."""
+
+    def _model(self):
+        from ao_tpu.models import build_model
+
+        return build_model(dict(
+            type="DefaultSegmentor",
+            backbone=dict(type="Swin3D-v1m1", in_channels=6, num_classes=5,
+                          base_grid_size=0.1, channels=(8, 16),
+                          num_heads=(2, 2), depths=(1, 1),
+                          window_sizes=(3, 3), stage_cap_ratios=(0.6,),
+                          window_capacity=32),
+        ))
+
+    def test_tables_exist_and_color_changes_output(self, rng):
+        model = self._model()
+        coord, feat, mask = make_batch(rng, B=1, N=256)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        names = [jax.tree_util.keystr(p) for p, _ in flat]
+        for t in ("xyz_q_table", "xyz_k_table", "xyz_v_table",
+                  "rgb_q_table", "rgb_k_table", "rgb_v_table"):
+            assert any(t in n for n in names), t
+
+        logits, _ = model.apply(variables, coord, feat, mask,
+                                mutable=["batch_stats"])
+        # perturb ONLY the color channels (3:6): the cRSE tables see it
+        feat2 = feat.at[..., 3:6].add(0.5)
+        logits2, _ = model.apply(variables, coord, feat2, mask,
+                                 mutable=["batch_stats"])
+        assert float(jnp.abs(logits - logits2).max()) > 1e-5
+
+    @pytest.mark.slow
+    def test_grad_flows_to_tables(self, rng):
+        model = self._model()
+        coord, feat, mask = make_batch(rng, B=1, N=256)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+
+        def loss(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                coord, feat, mask, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * out)
+
+        g = jax.grad(loss)(variables["params"])
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        table_grads = [
+            v for p, v in flat if "table" in jax.tree_util.keystr(p)
+        ]
+        assert table_grads
+        assert any(float(jnp.abs(v).max()) > 0 for v in table_grads)
