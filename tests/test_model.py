@@ -830,3 +830,41 @@ class TestSwin3DCRSE:
         ]
         assert table_grads
         assert any(float(jnp.abs(v).max()) > 0 for v in table_grads)
+
+
+class TestSPVCNNFusion:
+    """SPVCNN's point branch must interact with the voxel U-Net at
+    interior stage boundaries (reference ts_spvcnn.py:399-435), not just
+    at the head."""
+
+    def test_bottleneck_point_transform_changes_output(self, rng):
+        from ao_tpu.models.builder import MODELS
+
+        model = MODELS.build(dict(
+            type="SPVCNN", in_channels=6, out_channels=5, base_channels=8,
+            channels=(8, 16, 16, 16, 16, 16, 8, 8), layers=(1,) * 8,
+            stage_cap_ratios=(0.9,) * 4,
+        ))
+        coord, feat, mask = make_batch(rng, B=1, N=384)
+        coord = coord * 8  # spread over several voxels
+        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        out1, _ = model.apply(variables, coord, feat, mask,
+                              mutable=["batch_stats"])
+        assert out1.shape == (1, 384, 5)
+
+        # zero the bottleneck fusion transform (z1 = devox(x4) + pt0(z0));
+        # if the interior fusion is live, the output must change
+        import flax
+
+        params = flax.core.unfreeze(variables["params"])
+        assert "point_transform0" in params, sorted(params)
+        zeroed = jax.tree_util.tree_map(
+            jnp.zeros_like, params["point_transform0"]
+        )
+        params2 = dict(params, point_transform0=zeroed)
+        out2, _ = model.apply(
+            {"params": params2,
+             "batch_stats": variables.get("batch_stats", {})},
+            coord, feat, mask, mutable=["batch_stats"],
+        )
+        assert float(jnp.abs(out1 - out2).max()) > 1e-5
