@@ -67,6 +67,14 @@ class MaskedSceneContrast(nn.Module):
     reconstruct_weight: float = 1.0
     reconstruct_color: bool = True
     reconstruct_normal: bool = True
+    # CSC (MSC-v1m2, reference masked_scene_contrast_v1m2_csc.py:25-265):
+    # partition-aware InfoNCE — negatives are restricted to the spatial
+    # partition of each pair (near/far x up/down of the relative offset,
+    # thresholds r1/r2); pairs closer than r1 fall in no partition.
+    csc: bool = False
+    partitions: int = 4
+    r1: float = 0.125
+    r2: float = 2.0
 
     @nn.compact
     def __call__(
@@ -132,14 +140,36 @@ class MaskedSceneContrast(nn.Module):
         z1 = z1 / (jnp.linalg.norm(z1, axis=-1, keepdims=True) + 1e-7)
         z2 = z2 / (jnp.linalg.norm(z2, axis=-1, keepdims=True) + 1e-7)
         sim = jnp.einsum("bpc,bqc->bpq", z1, z2) / self.nce_t  # (B, P, P)
-        # masked InfoNCE with diagonal labels
         neg_mask = pair_valid[:, None, :]
-        sim = jnp.where(neg_mask, sim, -1e9)
-        logp = jax.nn.log_softmax(sim, axis=-1)
-        diag = jnp.diagonal(logp, axis1=1, axis2=2)
-        nce = -jnp.sum(jnp.where(pair_valid, diag, 0.0)) / jnp.maximum(
-            jnp.sum(pair_valid), 1.0
-        )
+
+        def _masked_nce(extra_mask=None):
+            m = neg_mask if extra_mask is None else neg_mask & extra_mask
+            s = jnp.where(m, sim, -1e9)
+            logp = jax.nn.log_softmax(s, axis=-1)
+            diag = jnp.diagonal(logp, axis1=1, axis2=2)
+            return -jnp.sum(jnp.where(pair_valid, diag, 0.0)) / jnp.maximum(
+                jnp.sum(pair_valid), 1.0
+            )
+
+        if self.csc:
+            # CSC partition-aware InfoNCE: per spatial partition of the
+            # picked pair coords, negatives restricted to the partition
+            # (diagonal always in; reference compute_partitions /
+            # compute_contrastive_loss, v1m2_csc.py:182-265)
+            c1 = jnp.take_along_axis(view1_coord, rows[..., None], axis=1)
+            c2 = jnp.take_along_axis(view2_coord, v2_rows[..., None], axis=1)
+            rel = c2[:, None, :, :] - c1[:, :, None, :]  # (B, P, P, 3)
+            d = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-7)
+            upper = rel[..., 2] > 0.0
+            near = (d > self.r1) & (d <= self.r2)
+            far = d > self.r2
+            eye = jnp.eye(P, dtype=bool)[None]
+            nce = 0.0
+            for pm in (near & upper, near & ~upper, far & upper, far & ~upper):
+                nce = nce + _masked_nce(pm | eye)
+            nce = nce / 4.0
+        else:
+            nce = _masked_nce()
         pos_sim = jnp.sum(
             jnp.where(pair_valid, jnp.diagonal(sim, axis1=1, axis2=2), 0.0)
         ) / jnp.maximum(jnp.sum(pair_valid), 1.0) * self.nce_t
@@ -170,3 +200,13 @@ class MaskedSceneContrast(nn.Module):
 
         out["loss"] = loss
         return out
+
+
+def _msc_v1m2(**kwargs):
+    """MSC-v1m2: MSC with CSC partition-aware InfoNCE (reference
+    masked_scene_contrast_v1m2_csc.py:25)."""
+    kwargs.setdefault("csc", True)
+    return MaskedSceneContrast(**kwargs)
+
+
+MODELS.register_module(name="MSC-v1m2", module=_msc_v1m2)

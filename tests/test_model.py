@@ -868,3 +868,52 @@ class TestSPVCNNFusion:
             coord, feat, mask, mutable=["batch_stats"],
         )
         assert float(jnp.abs(out1 - out2).max()) > 1e-5
+
+
+class TestMSCv1m2CSC:
+    """MSC-v1m2 = MSC with CSC partition-aware InfoNCE (reference
+    masked_scene_contrast_v1m2_csc.py:182-265)."""
+
+    def _run(self, model_type):
+        from ao_tpu.models import build_model
+        import flax.linen as fnn
+
+        class TinyBackbone(fnn.Module):
+            @fnn.compact
+            def __call__(self, coord, feat, mask, det=True, ura=False):
+                return fnn.Dense(16)(feat)
+
+        from ao_tpu.models.masked_scene_contrast.msc import (
+            MaskedSceneContrast,
+        )
+
+        model = MaskedSceneContrast(
+            backbone=TinyBackbone(), backbone_in_channels=6,
+            backbone_out_channels=16, matching_max_pair=64,
+            reconstruct_color=False, reconstruct_normal=False,
+            csc=(model_type == "MSC-v1m2"),
+        )
+        g = np.random.default_rng(0)
+        N = 128
+        oc = g.uniform(0, 2, (1, N, 3)).astype(np.float32)
+        feat = g.normal(size=(1, N, 6)).astype(np.float32)
+        mask = np.ones((1, N), bool)
+        args = (jnp.asarray(oc), jnp.asarray(oc), jnp.asarray(feat),
+                jnp.asarray(mask),
+                jnp.asarray(oc + 0.001), jnp.asarray(oc + 0.001),
+                jnp.asarray(feat), jnp.asarray(mask))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            *args,
+        )
+        out = model.apply(variables, *args,
+                          rngs={"mask": jax.random.PRNGKey(2)})
+        return out
+
+    def test_csc_loss_finite_and_differs_from_v1m1(self):
+        out1 = self._run("MSC-v1m1")
+        out2 = self._run("MSC-v1m2")
+        assert np.isfinite(float(out1["loss"]))
+        assert np.isfinite(float(out2["loss"]))
+        # restricting negatives to partitions changes the NCE value
+        assert abs(float(out1["nce_loss"]) - float(out2["nce_loss"])) > 1e-6
