@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -301,3 +303,255 @@ class TestColorConversionHelpers:
         np.random.seed(11)
         out3 = ElasticDistortion.elastic_distortion(pair, 0.5, 1.0)
         assert np.abs((out3 - pair) - d1).max() < 0.2 * max(np.abs(d1).max(), 1e-9)
+
+
+class TestStructured3DConverter:
+    """Fixture test for the Structured3D converter (reference
+    preprocess_structured3d.py): a synthetic zip with one perspective
+    frame and one panorama must fuse into a labelled world-space cloud."""
+
+    def _make_zip(self, tmp_path):
+        import io as _io
+        import zipfile
+        from PIL import Image
+
+        def png(arr):
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            return buf.getvalue()
+
+        H, W = 24, 32
+        depth = np.full((H, W), 2000, np.uint16)  # 2 m everywhere
+        rgb = np.full((H, W, 3), 120, np.uint8)
+        sem = np.full((H, W), 1, np.uint8)  # NYU40 'wall' -> class 0
+
+        zpath = str(tmp_path / "Structured3D_00.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            base = "Structured3D/scene_00001/2D_rendering/42"
+            p = f"{base}/perspective/full/0"
+            z.writestr(
+                f"{p}/camera_pose.txt",
+                "0 0 1000 1 0 0 0 1 0 0.8 0.6",
+            )
+            z.writestr(f"{p}/depth.png", png(depth))
+            z.writestr(f"{p}/rgb_rawlight.png", png(rgb))
+            z.writestr(f"{p}/semantic.png", png(sem))
+            pano = f"{base}/panorama"
+            z.writestr(f"{pano}/camera_xyz.txt", "0 0 1000")
+            z.writestr(f"{pano}/full/depth.png", png(depth))
+            z.writestr(f"{pano}/full/rgb_rawlight.png", png(rgb))
+            z.writestr(f"{pano}/full/semantic.png", png(sem))
+        return tmp_path
+
+    def test_convert(self, tmp_path):
+        from ao_tpu.datasets.preprocessing.preprocess_structured3d import main
+
+        root = self._make_zip(tmp_path)
+        out = tmp_path / "out"
+        main(["--dataset-root", str(root), "--output-root", str(out)])
+        files = list((out / "train" / "scene_00001").glob("*.npz"))
+        assert len(files) == 1
+        z = np.load(files[0])
+        coord = z["coord"]
+        assert coord.shape[0] > 100
+        assert z["semantic_gt"].min() == 0 and z["semantic_gt"].max() == 0
+        assert np.isfinite(coord).all()
+        # camera sits 1 m up (z-up output frame); constant 2 m depth keeps
+        # every point within a few meters of it
+        cam = np.array([0, 0, 1.0])
+        d = np.linalg.norm(coord - cam, axis=1)
+        assert d.min() > 1.0 and d.max() < 4.5
+        assert np.allclose(np.linalg.norm(z["normal"], axis=1), 1, atol=1e-3)
+
+
+class TestNuScenesInfoConverter:
+    """Devkit-free nuScenes info builder (reference
+    preprocess_nuscenes_info.py:312-607): a micro JSON database must yield
+    info pickles that NuScenesDataset can consume end to end."""
+
+    def _make_db(self, tmp_path):
+        import json
+
+        root = tmp_path / "raw"
+        (root / "v1.0-mini").mkdir(parents=True)
+        (root / "samples").mkdir()
+        (root / "sweeps").mkdir()
+        (root / "lidarseg").mkdir()
+        ident = dict(rotation=[1, 0, 0, 0], translation=[0, 0, 0])
+
+        def write(name, rows):
+            with open(root / "v1.0-mini" / f"{name}.json", "w") as f:
+                json.dump(rows, f)
+
+        write("scene", [dict(token="sc0", name="scene-0061",
+                             first_sample_token="sa0")])
+        write("sample", [
+            dict(token="sa0", next="sa1", prev=""),
+            dict(token="sa1", next="", prev="sa0"),
+        ])
+        sds = []
+        for i, (tok, sample, key, prev) in enumerate([
+            ("sd0", "sa0", True, ""),
+            ("sd0s", "sa0", False, "sd0"),  # a sweep
+            ("sd1", "sa1", True, "sd0s"),
+        ]):
+            fname = (
+                f"samples/LIDAR_TOP/{tok}.pcd.bin" if key
+                else f"sweeps/LIDAR_TOP/{tok}.pcd.bin"
+            )
+            sds.append(dict(
+                token=tok, sample_token=sample, is_key_frame=key,
+                filename=fname, prev=prev, timestamp=1000 + i,
+                ego_pose_token="ep0", calibrated_sensor_token="cs0",
+            ))
+            pts = np.random.default_rng(i).normal(
+                size=(50, 5)
+            ).astype(np.float32)
+            path = root / fname
+            path.parent.mkdir(parents=True, exist_ok=True)
+            pts.tofile(path)
+        write("sample_data", sds)
+        write("ego_pose", [dict(token="ep0", **ident)])
+        write("calibrated_sensor", [dict(token="cs0", **ident)])
+        seg = np.random.default_rng(9).integers(0, 31, 50).astype(np.uint8)
+        seg.tofile(root / "lidarseg" / "sd0.bin")
+        write("lidarseg", [dict(token="sd0",
+                                filename="lidarseg/sd0.bin")])
+        return root
+
+    def test_build_and_load(self, tmp_path):
+        from ao_tpu.datasets.preprocessing.preprocess_nuscenes_info import main
+        from ao_tpu.datasets.nuscenes import NuScenesDataset
+
+        root = self._make_db(tmp_path)
+        main(["--dataset-root", str(root), "--output-root", str(tmp_path),
+              "--version", "v1.0-mini", "--max-sweeps", "3"])
+        import pickle
+
+        with open(tmp_path / "info" /
+                  "nuscenes_infos_3sweeps_train.pkl", "rb") as f:
+            infos = pickle.load(f)
+        assert len(infos) == 2
+        assert infos[0]["lidar_token"] == "sd0"
+        assert infos[0]["gt_segment_path"] == "lidarseg/sd0.bin"
+        assert len(infos[0]["sweeps"]) == 2  # prev chain + repeat
+        assert np.allclose(
+            infos[0]["sweeps"][0]["sensor2lidar_rotation"], np.eye(3)
+        )
+
+        ds = NuScenesDataset(split="train", data_root=str(tmp_path),
+                             sweeps=3, transform=[])
+        sample = ds.get_data(0)
+        assert sample["coord"].shape == (50, 3)
+        assert sample["segment"].shape == (50,)
+        assert sample["segment"].max() < 16
+
+
+class TestArkitScenesConverter:
+    """ARKitScenes mesh converter (reference
+    preprocess_arkitscenes_mesh.py): vertex normals from area-weighted
+    face normals; output in the canonical scene layout."""
+
+    def test_convert(self, tmp_path):
+        from ao_tpu.utils.ply import write_ply
+        from ao_tpu.datasets.preprocessing.preprocess_arkitscenes import main
+
+        coord = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+        )
+        color = np.full((4, 3), 128, np.uint8)
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        mesh_dir = tmp_path / "3dod" / "Training" / "41069021"
+        mesh_dir.mkdir(parents=True)
+        write_ply(
+            str(mesh_dir / "41069021_3dod_mesh.ply"),
+            [coord, color[:, 0], color[:, 1], color[:, 2]],
+            ["x", "y", "z", "red", "green", "blue"],
+            triangular_faces=faces,
+        )
+        out = tmp_path / "out"
+        main(["--dataset-root", str(tmp_path), "--output-root", str(out)])
+        z = np.load(out / "Training" / "41069021.npz")
+        assert z["coord"].shape == (4, 3)
+        # planar square in z=0 with CCW faces -> +z normals everywhere
+        assert np.allclose(z["normal"], [[0, 0, 1]] * 4, atol=1e-5)
+        assert np.all(z["color"] == 128)
+
+
+class TestScanNetPairConverter:
+    """scannet_pair pipeline (reference scannet_pair/*): .sens parsing,
+    depth unprojection, pairwise overlap, and the pair list consumed by
+    ScanNetPairDataset."""
+
+    def _write_sens(self, path, poses, depths, colors, intrinsic):
+        import io as _io
+        import struct
+        import zlib
+        from PIL import Image
+
+        with open(path, "wb") as f:
+            f.write(struct.pack("I", 4))
+            name = b"testsensor"
+            f.write(struct.pack("Q", len(name)) + name)
+            for m in (intrinsic, np.eye(4), intrinsic, np.eye(4)):
+                f.write(np.asarray(m, np.float32).tobytes())
+            f.write(struct.pack("ii", 2, 1))  # jpeg color, zlib depth
+            h, w = depths[0].shape
+            f.write(struct.pack("II", w, h))  # color size
+            f.write(struct.pack("II", w, h))  # depth size
+            f.write(struct.pack("f", 1000.0))
+            f.write(struct.pack("Q", len(poses)))
+            for pose, depth, color in zip(poses, depths, colors):
+                f.write(np.asarray(pose, np.float32).tobytes())
+                f.write(struct.pack("QQ", 0, 0))
+                buf = _io.BytesIO()
+                Image.fromarray(color).save(buf, format="JPEG")
+                cb = buf.getvalue()
+                db = zlib.compress(depth.astype(np.uint16).tobytes())
+                f.write(struct.pack("QQ", len(cb), len(db)))
+                f.write(cb + db)
+
+    def test_pipeline(self, tmp_path):
+        from ao_tpu.datasets.preprocessing.preprocess_scannet_pair import main
+
+        h, w = 16, 20
+        intr = np.eye(4)
+        intr[0, 0] = intr[1, 1] = 20.0
+        intr[0, 2], intr[1, 2] = w / 2, h / 2
+        depth = np.full((h, w), 2000, np.uint16)
+        color = np.full((h, w, 3), 90, np.uint8)
+        ident = np.eye(4)
+        shifted = np.eye(4)
+        shifted[0, 3] = 0.3  # 30 cm away: still large overlap
+        far = np.eye(4)
+        far[0, 3] = 50.0  # disjoint
+        scene = tmp_path / "scene0000_00"
+        scene.mkdir()
+        self._write_sens(str(scene / "scene0000_00.sens"),
+                         [ident, shifted, far],
+                         [depth] * 3, [color] * 3, intr)
+        out = tmp_path / "out"
+        main(["--dataset-root", str(tmp_path), "--output-root", str(out),
+              "--frame-skip", "1"])
+
+        pcds = sorted((out / "scene0000_00" / "pcd").glob("*.npz"))
+        assert len(pcds) == 3
+        lines = open(out / "scene0000_00" / "pcd" / "overlap.txt").read().splitlines()
+        ratios = {}
+        for line in lines:
+            p0, p1, r = line.split()
+            key = tuple(sorted(
+                [os.path.basename(p0), os.path.basename(p1)]
+            ))
+            ratios[key] = float(r)
+        assert ratios[("0.npz", "1.npz")] > 0.5
+        assert ratios[("0.npz", "2.npz")] < 0.1
+        filtered = open(out / "overlap30.txt").read().splitlines()
+        assert len(filtered) == 1  # only the near pair survives
+
+        from ao_tpu.datasets.misc_datasets import ScanNetPairDataset
+
+        ds = ScanNetPairDataset(
+            data_root=str(out), split="train", transform=[],
+        )
+        assert len(ds.get_data_list()) == 1
