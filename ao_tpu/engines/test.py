@@ -164,11 +164,22 @@ class SemSegTester(TesterBase):
                 f"running mIoU {m_iou:.4f}"
             )
 
-        # final metrics (single-host aggregation; multi-host merges records
-        # via the shared filesystem like per-scene npy caches)
-        inter = intersection_meter.sum
-        union = union_meter.sum
-        target = target_meter.sum
+        # final metrics: merge every process's per-scene records (the
+        # reference pickles meters over gloo, test.py:197-229)
+        if jax.process_count() > 1:
+            from ao_tpu.utils import comm
+
+            for rec in comm.all_gather(record):
+                for name, r in rec.items():
+                    if name not in record:
+                        record[name] = r
+            inter = np.sum([r["intersection"] for r in record.values()], axis=0)
+            union = np.sum([r["union"] for r in record.values()], axis=0)
+            target = np.sum([r["target"] for r in record.values()], axis=0)
+        else:
+            inter = intersection_meter.sum
+            union = union_meter.sum
+            target = target_meter.sum
         iou_class = inter / (union + 1e-10)
         acc_class = inter / (target + 1e-10)
         m_iou = float(np.mean(iou_class))

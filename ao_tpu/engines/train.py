@@ -262,16 +262,24 @@ class Trainer(TrainerBase):
 
     # ---- sharding helpers ----
     def put_batch(self, batch: dict) -> dict:
-        """Shard the batch over the data mesh axis; drop host-only extras.
+        """Shard the (process-local) batch over the data mesh axis; drop
+        host-only extras.
 
-        The batch axis must divide the mesh: short batches (e.g. the last
-        validation batch, or tiny smoke configs) are padded with fully
+        Single-process: a plain device_put with the data sharding.
+        Multi-process: every process holds only its shard of the global
+        batch, assembled into one global array with
+        ``jax.make_array_from_process_local_data`` (the reference's
+        DistributedSampler + DDP input split, launch.py:74-87).
+
+        The local batch must divide the local devices: short batches (the
+        last validation batch, tiny smoke configs) are padded with fully
         masked empty scenes, whose points carry the ignore label and
         contribute nothing to losses or metrics.
         """
-        n_dev = self.mesh.devices.size
+        n_local = jax.local_device_count()
+        n_proc = jax.process_count()
         b = batch["mask"].shape[0]
-        pad = (-b) % n_dev
+        pad = (-b) % n_local
         sharding = NamedSharding(self.mesh, P("data"))
         ignore = self.cfg.data.get("ignore_index", -1)
         out = {}
@@ -283,8 +291,23 @@ class Trainer(TrainerBase):
                 v = np.concatenate(
                     [v, np.full((pad,) + v.shape[1:], fill, v.dtype)], axis=0
                 )
-            out[k] = jax.device_put(v, sharding)
+            if n_proc > 1:
+                global_shape = (v.shape[0] * n_proc,) + v.shape[1:]
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, v, global_shape
+                )
+            else:
+                out[k] = jax.device_put(v, sharding)
         return out
+
+    def _local_rows(self, arr) -> np.ndarray:
+        """This process's rows of a batch-sharded global array, in local
+        batch order (inverse of put_batch's assembly)."""
+        shards = sorted(
+            arr.addressable_shards,
+            key=lambda s: s.index[0].start or 0,
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     # ---- jitted steps ----
     def make_train_step(self):
@@ -406,23 +429,30 @@ class Trainer(TrainerBase):
         """Loss + IoU histograms; when the batch carries origin_coord /
         origin_segment (reference evaluator.py:124-133), predictions on the
         grid-sampled points are re-projected to the full-resolution points
-        by nearest neighbour before scoring."""
+        by nearest neighbour before scoring.
+
+        Multi-process note: the jitted path reduces over the GLOBAL batch
+        inside jit (every process returns identical global histograms);
+        the origin-coord path scores each process's local scenes on host
+        and all-reduces the histograms (the reference's dist.all_reduce,
+        evaluator.py:140-143)."""
         extras = batch.get("extras", {})
         if "origin_coord" not in extras:
             dev = self.put_batch(batch)
             return self._eval_step(self.state, dev)
         from ao_tpu.ops import knn
+        from ao_tpu.utils import comm
         from ao_tpu.utils.misc import intersection_and_union
 
         dev = self.put_batch(batch)
         loss, pred = self._eval_pred(self.state, dev)
-        pred = np.asarray(pred)
+        pred = self._local_rows(pred)  # this process's scenes only
         K = self.cfg.data.num_classes
         ignore = self.cfg.data.get("ignore_index", -1)
         inter = np.zeros(K)
         union = np.zeros(K)
         target = np.zeros(K)
-        for b in range(pred.shape[0]):
+        for b in range(len(extras["origin_coord"])):
             oc = np.asarray(extras["origin_coord"][b], np.float32)
             os_ = np.asarray(extras["origin_segment"][b]).reshape(-1)
             m = np.asarray(batch["mask"][b])
@@ -435,6 +465,11 @@ class Trainer(TrainerBase):
             inter += i
             union += u
             target += t
+        if jax.process_count() > 1:
+            gathered = comm.all_gather((inter, union, target))
+            inter = np.sum([g[0] for g in gathered], axis=0)
+            union = np.sum([g[1] for g in gathered], axis=0)
+            target = np.sum([g[2] for g in gathered], axis=0)
         return loss, inter, union, target
 
     def current_lr(self) -> float:
