@@ -164,3 +164,24 @@ def test_onecycle_shape():
     assert 5 <= peak <= 15  # warmup ends near pct_start * total_steps
     assert abs(lrs[peak] - 0.1) < 1e-3
     assert lrs[-1] < lrs[0]  # final lr far below initial
+
+
+def test_all_configs_load_and_models_build():
+    """Every shipped config must parse and its model must construct (the
+    registry-level sanity the reference gets from full training runs)."""
+    import glob
+    import os
+
+    from ao_tpu.models import build_model
+    from ao_tpu.utils.config import Config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    configs = sorted(glob.glob(os.path.join(repo, "configs", "*", "*.py")))
+    configs = [c for c in configs if "_base_" not in c]
+    assert len(configs) >= 30
+    for path in configs:
+        cfg = Config.fromfile(path)
+        assert cfg.get("model") is not None, path
+        assert cfg.get("data") is not None or cfg.get("evaluate") is False, path
+        model = build_model(dict(cfg.model))
+        assert model is not None, path
