@@ -87,6 +87,44 @@ def grid_prompt_search(
     return chosen, seg_pred[chosen].astype(np.int64)
 
 
+def radius_prompt_search(
+    coord: np.ndarray,  # (N, 3)
+    seg_pred: np.ndarray,  # (N,)
+    confidence: np.ndarray,  # (N,)
+    sam_label: np.ndarray,  # (N,)
+    classes_present: np.ndarray,
+    radius_scale: float = 0.33,
+    conf_thresh: float = 0.95,
+):
+    """Radius-based prompt mining (the reference's ablation variant,
+    train_sam_final_radius.py:351-379): per present class, greedily pick
+    the max-confidence incognita candidate and suppress all candidates
+    within ``radius_scale`` meters of it, until none remain.
+    Returns (prompt_idx (P,), prompt_cls (P,))."""
+    prompt_idx, prompt_cls = [], []
+    for cidx in classes_present:
+        cand = (
+            (seg_pred == cidx)
+            & (sam_label != cidx)
+            & (confidence > conf_thresh)
+        )
+        cand_idx = np.where(cand)[0]
+        conf = confidence[cand_idx].copy()
+        alive = np.ones(cand_idx.size, bool)
+        while alive.any():
+            best = np.argmax(np.where(alive, conf, -1.0))
+            prompt_idx.append(cand_idx[best])
+            prompt_cls.append(cidx)
+            d = np.linalg.norm(
+                coord[cand_idx] - coord[cand_idx[best]], axis=1
+            )
+            alive &= d > radius_scale
+    return (
+        np.asarray(prompt_idx, np.int64),
+        np.asarray(prompt_cls, np.int64),
+    )
+
+
 def vote_masks_for_frame(
     masks: np.ndarray,  # (P, H, W) bool, mask 0 of the multimask output
     prompt_cls: np.ndarray,  # (P,)
@@ -144,6 +182,10 @@ class RealTrainer(Trainer):
         self.frame_size = tuple(real_cfg.get("frame_size", (1080, 1080)))
         self.grid_scale = real_cfg.get("grid_scale", 0.5)
         self.conf_thresh = real_cfg.get("conf_thresh", 0.9)
+        # "grid" (release) or "radius" (the reference's
+        # train_sam_final_radius.py ablation)
+        self.prompt_search = real_cfg.get("prompt_search", "grid")
+        self.radius_scale = real_cfg.get("radius_scale", 0.33)
         self.eval_areas = tuple(real_cfg.get("eval_areas", ("Area_1",)))
 
         self._predictor = None
@@ -280,10 +322,16 @@ class RealTrainer(Trainer):
             gt = np.asarray(scene["semantic_gt"], np.int64).reshape(-1)
             classes_present = np.unique(gt[gt >= 0])
 
-            prompt_idx, prompt_cls = grid_prompt_search(
-                coord, seg_pred, confidence, sam_label, classes_present,
-                self.grid_scale, self.conf_thresh,
-            )
+            if self.prompt_search == "radius":
+                prompt_idx, prompt_cls = radius_prompt_search(
+                    coord, seg_pred, confidence, sam_label, classes_present,
+                    self.radius_scale, max(self.conf_thresh, 0.95),
+                )
+            else:
+                prompt_idx, prompt_cls = grid_prompt_search(
+                    coord, seg_pred, confidence, sam_label, classes_present,
+                    self.grid_scale, self.conf_thresh,
+                )
             if prompt_idx.size == 0:
                 continue
             prompt_accuracy_all += (

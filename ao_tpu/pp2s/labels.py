@@ -26,20 +26,40 @@ import numpy as np
 def choose_weak_labels(
     instance: np.ndarray,  # (N,) GT instance ids
     viewable: np.ndarray,  # (N,) 0/1 union of bridge visibility
+    points_per_instance: int = 1,
 ) -> np.ndarray:
-    """(N,) 0/1 mask with one weak point per instance."""
+    """(N,) 0/1 mask of weak-labelled points.
+
+    ``points_per_instance=1`` is the release "0.004" setting (the
+    viewable-midpoint of each instance, reference
+    my_choose_weak_label_final.py:74-88); larger values give the denser
+    "0.02" setting (k evenly spaced quantile points per instance,
+    reference my_choose_weak_label_0.02.py:72-97).
+    """
     n = instance.shape[0]
     weak = np.zeros(n, np.int64)
     viewable = viewable.astype(bool)
     all_idx = np.arange(n)
+    k = points_per_instance
+
+    def pick(members):
+        if members.size == 0:
+            return
+        if k == 1:
+            weak[members[len(members) // 2]] = 1
+        else:
+            step = max(members.size // (k + 1), 1)
+            sel = members[
+                np.minimum((np.arange(k) + 1) * step, members.size - 1)
+            ]
+            weak[sel] = 1
+
     viewable_instances = set(np.unique(instance[viewable]).tolist())
     for iid in viewable_instances:
-        members = all_idx[viewable & (instance == iid)]
-        weak[members[len(members) // 2]] = 1
+        pick(all_idx[viewable & (instance == iid)])
     for iid in np.unique(instance):
         if iid not in viewable_instances:
-            members = np.where(instance == iid)[0]
-            weak[members[len(members) // 2]] = 1
+            pick(np.where(instance == iid)[0])
     return weak
 
 

@@ -162,3 +162,38 @@ class TestEndToEnd:
         np.testing.assert_array_equal(labels[wi], segment[wi])
         # all labels in range
         assert set(np.unique(labels)).issubset(set(range(-1, 5)))
+
+
+def test_weak_labels_dense_setting():
+    """points_per_instance > 1 is the reference '0.02' weak setting
+    (my_choose_weak_label_0.02.py): k evenly spaced points per instance."""
+    from ao_tpu.pp2s.labels import choose_weak_labels
+
+    instance = np.repeat(np.arange(3), 60)
+    viewable = np.ones(180)
+    weak1 = choose_weak_labels(instance, viewable, points_per_instance=1)
+    weak5 = choose_weak_labels(instance, viewable, points_per_instance=5)
+    assert weak1.sum() == 3
+    assert weak5.sum() == 15
+    for iid in range(3):
+        assert weak5[instance == iid].sum() == 5
+
+
+def test_radius_prompt_search_suppression():
+    """Radius prompt mining (reference train_sam_final_radius.py:351-379):
+    greedy max-confidence picks with radius suppression."""
+    from ao_tpu.engines.train_real import radius_prompt_search
+
+    coord = np.zeros((6, 3), np.float32)
+    coord[:, 0] = [0.0, 0.1, 0.2, 5.0, 5.1, 9.0]
+    seg_pred = np.full(6, 2)
+    confidence = np.array([0.99, 0.98, 0.97, 0.96, 0.99, 0.2])
+    sam_label = np.full(6, 0)  # all disagree
+    idx, cls = radius_prompt_search(
+        coord, seg_pred, confidence, sam_label, np.array([2]),
+        radius_scale=0.33, conf_thresh=0.95,
+    )
+    # cluster A (0-2) -> its max-conf point 0; cluster B (3,4) -> point 4;
+    # point 5 fails the confidence threshold
+    assert sorted(idx.tolist()) == [0, 4]
+    assert (cls == 2).all()
