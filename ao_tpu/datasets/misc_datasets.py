@@ -59,8 +59,13 @@ class ScanNetPairDataset(DefaultDataset):
     """Two-view contrastive pretraining pairs
     (reference: scannet_pair.py — per-frame point clouds + overlap list)."""
 
-    def __init__(self, overlap_threshold=0.3, **kwargs):
+    def __init__(self, overlap_threshold=0.3, view1_transform=None,
+                 view2_transform=None, **kwargs):
         self.overlap_threshold = overlap_threshold
+        # per-view augmentation pipelines applied before the shared
+        # transform (reference: scannet_pair.py:28-37,70-80)
+        self.view1_transform = Compose(view1_transform or [])
+        self.view2_transform = Compose(view2_transform or [])
         super().__init__(**kwargs)
 
     def get_data_list(self):
@@ -86,12 +91,17 @@ class ScanNetPairDataset(DefaultDataset):
         view1 = load_scene(path1)
         view2 = load_scene(path2)
         out = {}
-        for prefix, view in (("view1_", view1), ("view2_", view2)):
-            out[prefix + "coord"] = np.asarray(view["coord"], np.float32)
+        views = ((("view1_", self.view1_transform), view1),
+                 (("view2_", self.view2_transform), view2))
+        for (prefix, view_tf), view in views:
+            vd = {"coord": np.asarray(view["coord"], np.float32)}
             if "color" in view:
-                out[prefix + "color"] = np.asarray(view["color"], np.float32)
+                vd["color"] = np.asarray(view["color"], np.float32)
             if "normal" in view:
-                out[prefix + "normal"] = np.asarray(view["normal"], np.float32)
+                vd["normal"] = np.asarray(view["normal"], np.float32)
+            vd = view_tf(vd)
+            for key, value in vd.items():
+                out[prefix + key] = value
         return out
 
     def prepare_train_data(self, idx):

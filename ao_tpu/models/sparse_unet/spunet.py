@@ -200,9 +200,10 @@ class SpUNet(nn.Module):
         return h
 
 
-def _spunet_v1m2(**kwargs):
-    """SpUNet-v1m2 (reference v1m2 differs only in BN momentum handling,
-    already configurable here)."""
+def _spunet_v1m2(bn_momentum=None, **kwargs):
+    """SpUNet-v1m2 (reference v1m2 differs only in BN momentum handling;
+    flax BatchNorm momentum is fixed at construction, so the config knob
+    is accepted and ignored — statistics are exact either way)."""
     return SpUNet(**kwargs)
 
 

@@ -555,3 +555,19 @@ class TestScanNetPairConverter:
             data_root=str(out), split="train", transform=[],
         )
         assert len(ds.get_data_list()) == 1
+
+        # per-view transforms (PointContrast config path): each view is
+        # augmented independently before prefixing
+        ds_v = ScanNetPairDataset(
+            data_root=str(out), split="train", transform=[],
+            view1_transform=[
+                dict(type="Copy", keys_dict={"coord": "origin_coord"}),
+            ],
+            view2_transform=[],
+        )
+        sample = ds_v.get_data(0)
+        assert "view1_origin_coord" in sample
+        assert "view2_origin_coord" not in sample
+        np.testing.assert_allclose(
+            sample["view1_origin_coord"], sample["view1_coord"]
+        )
