@@ -194,21 +194,12 @@ class GroupedVectorAttention(nn.Module):
             qrow = jnp.pad(qrow, ((0, 0), (0, Np - N), (0, 0)))
             validb = jnp.pad(validb, ((0, 0), (0, Np - N), (0, 0)))
 
-        if not ura:
-            # pe-BN statistics are analytic in the rel-coord moments; the
-            # gather+reduce fuses without materialising (B,N,S,3)
-            relc = grouping_with_rel_coord(coord, coord, idx, idx_valid)
-            mf = idx_valid.astype(jnp.float32)[..., None]
-            pos_moments = (
-                jnp.sum(relc * mf, axis=(0, 1, 2)),
-                jnp.einsum("bnsi,bnsj->ij", relc * mf, relc),
-                jnp.sum(mf),
-            )
-            pos_moments = jax.tree_util.tree_map(
-                jax.lax.stop_gradient, pos_moments
-            )
-        else:
-            pos_moments = None
+        # pe-BN statistics are analytic in the rel-coord moments; the
+        # fused path accumulates them in a dedicated Pallas pass over the
+        # packed coordinate lanes of the gathered rows (a second XLA-side
+        # (B,N,S,3) gather tile-pads 3 -> 128 lanes in HBM — ~2 GB of
+        # temp at full resolution, enough to OOM the B=3/80k step).
+        pos_moments = None
 
         if ura:
             rp = (pe_mean.value, pe_var.value)
@@ -225,18 +216,18 @@ class GroupedVectorAttention(nn.Module):
                     running_p=rp, running_w=rw,
                 )
         elif fused:
-            out, (mu_w, var_w, n_w), (mu_p, var_p) = _gvaf.gva_core(
+            out, (mu_w, var_w, n_w), (mu_p, var_p, n_p) = _gvaf.gva_core(
                 kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
                 pos_moments, S, C, G, TQ,
             )
-            self._update_bn(pe_mean, pe_var, mu_p, var_p, pos_moments[2])
+            self._update_bn(pe_mean, pe_var, mu_p, var_p, n_p)
             self._update_bn(we_mean, we_var, mu_w, var_w, n_w)
         else:
-            out, (mu_w, var_w, n_w), (mu_p, var_p) = _gvaf.gva_reference(
+            out, (mu_w, var_w, n_w), (mu_p, var_p, n_p) = _gvaf.gva_reference(
                 kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
                 pos_moments, S, C, G, dtype=self.dtype or jnp.float32,
             )
-            self._update_bn(pe_mean, pe_var, mu_p, var_p, pos_moments[2])
+            self._update_bn(pe_mean, pe_var, mu_p, var_p, n_p)
             self._update_bn(we_mean, we_var, mu_w, var_w, n_w)
         return out[:, :N]
 

@@ -227,6 +227,40 @@ def _stats_kernel(kvp_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     sums_ref[...] += jnp.concatenate([st, st2, cnt, sp, pp], axis=0)
 
 
+def _pos_kernel(kvp_ref, qrow_ref, valid_ref, sums_ref, *, C, S, G, TQ):
+    """Accumulate the relative-position moments (sum rel (3,), sum
+    rel rel^T (3,3), valid count) straight from the packed coordinate
+    lanes of the gathered rows. Computing these in XLA needs a second
+    (B,N,S,3) f32 gather (or lane-sliced temps) that tile-pads 3 -> 128
+    in HBM; here it is one extra streaming pass over rows the other
+    kernels read anyway."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    kvp = kvp_ref[0]
+    qrow = qrow_ref[0]
+    pos = (
+        kvp[:, 2 * C:2 * C + 3].astype(jnp.float32)
+        + kvp[:, 2 * C + 3:2 * C + 6].astype(jnp.float32)
+    )
+    pos_q = (
+        qrow[:, C:C + 3].astype(jnp.float32)
+        + qrow[:, C + 3:C + 6].astype(jnp.float32)
+    )
+    valid = _expand_valid(valid_ref[0], TQ, S)
+    M = _seg_matrix(TQ, S)
+    pos = (pos - _mm(M, pos_q)) * valid
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+
+    W = sums_ref.shape[1]
+    sp = _pad_lanes(jnp.sum(pos, axis=0, keepdims=True), W)
+    pp = _pad_lanes(_mtm(pos, pos), W)
+    cnt = _pad_lanes(jnp.sum(valid, axis=0, keepdims=True), W)
+    sums_ref[...] += jnp.concatenate([sp, pp, cnt], axis=0)
+
+
 def _fwd_kernel(kvp_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
                 bp2_ref, W1f_ref, b1f_ref, W2_ref, b2_ref, out_ref,
                 *, C, S, G, TQ):
@@ -298,8 +332,14 @@ def _bwd_kernel(kvp_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
 
 
 def _bwd_stats_kernel(kvp_ref, qrow_ref, valid_ref, A_ref, cA_ref,
-                      Wp2_ref, bp2_ref, W1_ref, b1_ref, coef_ref, dkv_ref,
-                      dq_ref, dpar_ref, *, C, S, G, TQ):
+                      Wp2_ref, bp2_ref, W1_ref, b1_ref, coef_ref,
+                      dkv_in_ref, dq_in_ref, dkv_ref, dq_ref, dpar_ref,
+                      *, C, S, G, TQ):
+    """Second backward pass (weight-BN statistics' gradient). dkv_in/dq_in
+    are the MAIN backward kernel's outputs, aliased to this kernel's
+    dkv/dq outputs — the pass accumulates in place instead of
+    materialising a second full (B, N*S, 2C+6) array that XLA then adds
+    (two extra HBM round-trips of the widest tensor in the model)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     env = _recompute(
@@ -317,8 +357,11 @@ def _bwd_stats_kernel(kvp_ref, qrow_ref, valid_ref, A_ref, cA_ref,
     dpe0, dWp2, dbp2, dA, dcA = _peb_bwd(env, dr, Wp2_ref[...])
 
     pad = jnp.zeros((TQ * S, kvp_ref.shape[2] - C), jnp.float32)
-    dkv_ref[0] = jnp.concatenate([dr, pad], axis=1).astype(dkv_ref.dtype)
-    dq_ref[0] = (-_mtm(M, dr)).astype(dq_ref.dtype)
+    delta = jnp.concatenate([dr, pad], axis=1)
+    dkv_ref[0] = (
+        dkv_in_ref[0].astype(jnp.float32) + delta
+    ).astype(dkv_ref.dtype)
+    dq_ref[0] = dq_in_ref[0] - _mtm(M, dr)
 
     @pl.when((b == 0) & (t == 0))
     def _():
@@ -360,7 +403,7 @@ def _stats_w(C, G):
 
 
 def _run(kernel, grid, in_specs, out_specs, out_shape, args, interpret,
-         **kw):
+         io_aliases=None, **kw):
     out = pl.pallas_call(
         functools.partial(kernel, **kw),
         grid=grid,
@@ -368,6 +411,7 @@ def _run(kernel, grid, in_specs, out_specs, out_shape, args, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        input_output_aliases=io_aliases or {},
     )(*args)
     return out
 
@@ -435,6 +479,19 @@ def _fwd_inner(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
     kvp_s, qrow_s, vspec, const, outn = _specs(S, C, TQ, row_w, q_w)
     SW = _stats_w(C, G)
 
+    if pos_moments is None:
+        psums = _run(
+            _pos_kernel, grid,
+            [kvp_s, qrow_s, vspec],
+            pl.BlockSpec((5, SW), lambda b, t: (0, 0)),
+            jax.ShapeDtypeStruct((5, SW), jnp.float32),
+            (kvp, qrow, valid),
+            interpret, C=C, S=S, G=G, TQ=TQ,
+        )
+        psums = lax.optimization_barrier(psums)
+        pos_moments = (psums[0, :3], psums[1:4, :3], psums[4, 0])
+    pos_moments = jax.tree_util.tree_map(lax.stop_gradient, pos_moments)
+
     A, cA, mu_p, var_p, _, _ = _fold_pe(Wp1, bp1, gp, bp, pos_moments)
     sums = _run(
         _stats_kernel, grid,
@@ -464,7 +521,7 @@ def _fwd_inner(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
     out = lax.optimization_barrier(out)
     res = (kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
            pos_moments, mu_w, var_w, n)
-    return out, res, ((mu_w, var_w, n), (mu_p, var_p))
+    return out, res, ((mu_w, var_w, n), (mu_p, var_p, pos_moments[2]))
 
 
 def gva_core_eval(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
@@ -562,19 +619,23 @@ def _bwd_vjp(S, C, G, TQ, interpret, res, cts):
     )
 
     rows2 = _N_PAR_STATS(C)
-    dkv2, dq2, dpar2 = _run(
+    # dkv/dq from the main backward ride in as aliased inputs 10/11 —
+    # the stats pass accumulates into them in place (no second full
+    # (B, N*S, row_w) materialisation + XLA add)
+    dkv, dq, dpar2 = _run(
         _bwd_stats_kernel, grid,
         [kvp_s, qrow_s, vspec, const(A.shape), const((1, C)),
          const(Wp2.shape), const((1, C)), const(W1.shape), const((1, G)),
-         const(coef.shape)],
+         const(coef.shape), kvp_s, outn],
         [kvp_s, outn, pl.BlockSpec((rows2, PW), lambda b, t: (0, 0))],
         [jax.ShapeDtypeStruct(kvp.shape, jnp.bfloat16),
          jax.ShapeDtypeStruct((B, N, C), jnp.float32),
          jax.ShapeDtypeStruct((rows2, PW), jnp.float32)],
-        (kvp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None], coef),
-        interpret, C=C, S=S, G=G, TQ=TQ,
+        (kvp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None], coef,
+         dkv, dq),
+        interpret, io_aliases={10: 0, 11: 1}, C=C, S=S, G=G, TQ=TQ,
     )
-    dkv2, dq2, dpar2 = lax.optimization_barrier((dkv2, dq2, dpar2))
+    dkv, dq, dpar2 = lax.optimization_barrier((dkv, dq, dpar2))
     r0 = 0
     dW1 = dW1 + dpar2[r0:r0 + C, :G]; r0 += C                # noqa: E702
     db1 = db1 + dpar2[r0, :G]; r0 += 1                       # noqa: E702
@@ -582,11 +643,6 @@ def _bwd_vjp(S, C, G, TQ, interpret, res, cts):
     dbp2 = dbp2 + dpar2[r0, :C]; r0 += 1                     # noqa: E702
     dA = dA + dpar2[r0:r0 + 3, :C]; r0 += 3                  # noqa: E702
     dcA = dcA + dpar2[r0, :C]
-
-    dkv = (dkv.astype(jnp.float32) + dkv2.astype(jnp.float32)).astype(
-        jnp.bfloat16
-    )
-    dq = dq + dq2
 
     # Unfold the pe affine (A = Wp1 * s_p, cA = (bp1 - mu_p) * s_p + bp,
     # s_p = gp * inv_p; mu_p = pmean @ Wp1 + bp1, var_p = w_c^T pcov w_c):
@@ -645,10 +701,17 @@ def gva_reference(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
     mrow = qrow[:, :, C + 6] > 0
 
     pos = jnp.where(valid[..., None], pos_k - pos_q[:, :, None, :], 0.0)
+    n_p = jnp.sum(valid.astype(jnp.float32))
     if running_p is not None:
         A, cA = _fold_pe_running(Wp1, bp1, gp, bp, *running_p)
         mu_p = var_p = None
     else:
+        if pos_moments is None:
+            pos_moments = jax.tree_util.tree_map(lax.stop_gradient, (
+                jnp.sum(pos, axis=(0, 1, 2)),
+                jnp.einsum("bnsi,bnsj->ij", pos, pos),
+                n_p,
+            ))
         A, cA, mu_p, var_p, _, _ = _fold_pe(Wp1, bp1, gp, bp, pos_moments)
     pe0 = jnp.where(
         valid[..., None],
@@ -681,4 +744,4 @@ def gva_reference(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
     v2g = v2.reshape(B, N, S, G, C // G)
     out = jnp.einsum("bnsgi,bnsg->bngi", v2g, w).reshape(B, N, C)
     out = jnp.where(mrow[..., None], out, 0.0)
-    return out, (mu_w, var_w, n), (mu_p, var_p)
+    return out, (mu_w, var_w, n), (mu_p, var_p, n_p)

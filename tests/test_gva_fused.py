@@ -96,6 +96,19 @@ def test_forward_and_stats_parity(case):
     assert float(jnp.max(jnp.abs(sw_[1] - rsw[1]))) < 1e-2
 
 
+def test_in_kernel_pos_moments(case):
+    """pos_moments=None: the dedicated pos-stats pass must reproduce the
+    host-computed moments (same fold -> same forward/stats/pe-stats)."""
+    args, pm = case
+    o_ref, sw_ref, sp_ref = gva_core(*args, pm, S, C, G, TQ, True)
+    o, sw_, sp_ = gva_core(*args, None, S, C, G, TQ, True)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 1e-3
+    assert float(jnp.max(jnp.abs(sw_[0] - sw_ref[0]))) < 1e-3
+    assert float(jnp.max(jnp.abs(sp_[0] - sp_ref[0]))) < 1e-3
+    assert float(jnp.max(jnp.abs(sp_[1] - sp_ref[1]))) < 1e-3
+    assert float(sp_[2]) == float(sp_ref[2]) == float(pm[2])
+
+
 def test_eval_mode_parity(case):
     args, pm = case
     _, rsw, rsp = gva_reference(*args, pm, S, C, G)
