@@ -43,10 +43,16 @@ class OctreeAttention(nn.Module):
     num_heads: int
     patch_size: int = 32
     dilation: int = 1
+    use_rpe: bool = True
 
     @nn.compact
-    def __call__(self, feat, mask, deterministic=True):
-        """feat (B, N, C) in Morton order; groups are contiguous runs."""
+    def __call__(self, feat, mask, xyz=None, deterministic=True):
+        """feat (B, N, C) in Morton order; groups are contiguous runs.
+        ``xyz`` (B, N, 3) int32 octree-cell coordinates at this stage's
+        depth enable the reference's relative-position bias
+        (octformer_v1m1_base.py:151-182: per-axis table of
+        2*int(0.8*K*sqrt(dilation))+1 offsets per head, summed over
+        axes and added to the attention logits)."""
         B, N, C = feat.shape
         K = self.patch_size
         H = self.num_heads
@@ -62,6 +68,22 @@ class OctreeAttention(nn.Module):
         qkv = nn.Dense(3 * C, name="qkv")(f).reshape(B, G, K, 3, H, hd)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         attn = jnp.einsum("bgqhd,bgkhd->bghqk", q, k) * (hd**-0.5)
+        if self.use_rpe and xyz is not None:
+            pos_bnd = int(0.8 * K * self.dilation ** 0.5)
+            rpe_num = 2 * pos_bnd + 1
+            table = self.param(
+                "rpe_table", nn.initializers.truncated_normal(0.02),
+                (3 * rpe_num, H),
+            )
+            x = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)))[:, order]
+            xg = x.reshape(B, G, K, 3)
+            rel = xg[:, :, :, None, :] - xg[:, :, None, :, :]  # q - k
+            idx = (
+                jnp.clip(rel, -pos_bnd, pos_bnd) + pos_bnd
+                + jnp.arange(3, dtype=jnp.int32) * rpe_num
+            )
+            bias = jnp.take(table, idx, axis=0).sum(-2)  # (B,G,K,K,H)
+            attn = attn + bias.transpose(0, 1, 4, 2, 3)
         mg = m.reshape(B, G, K)
         attn = jnp.where(mg[:, :, None, None, :], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
@@ -79,6 +101,7 @@ class OctFormerBlock(nn.Module):
     dilation: int = 1
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    rpe_grid: float = 0.04  # octree cell size at this stage's depth
 
     @nn.compact
     def __call__(self, coord, feat, mask, deterministic=True):
@@ -94,9 +117,10 @@ class OctFormerBlock(nn.Module):
         feat = feat + jnp.where(mask[..., None], cpe, 0.0)
 
         h = nn.LayerNorm()(feat)
+        xyz = jnp.floor(coord / self.rpe_grid).astype(jnp.int32)
         h = OctreeAttention(
             C, self.num_heads, self.patch_size, self.dilation, name="attn"
-        )(h, mask, deterministic)
+        )(h, mask, xyz, deterministic)
         feat = feat + DropPath(self.drop_path)(h, deterministic)
         y = nn.LayerNorm()(feat)
         y = nn.Dense(int(C * self.mlp_ratio))(y)
@@ -156,6 +180,8 @@ class OctFormer(nn.Module):
                     patch_size=self.patch_size,
                     dilation=1 if d % 2 == 0 else self.dilation,
                     drop_path=float(dp[bi]),
+                    rpe_grid=(self.grid_sizes[s - 1] if s > 0
+                              else self.grid_sizes[0] / 2),
                     name=f"stage{s}_block{d}",
                 )(coord, h, mask, deterministic)
                 bi += 1

@@ -54,10 +54,17 @@ _MINK_VARIANTS = {
 }
 
 
+# variants built from the 1-3-1 Bottleneck block (expansion 4) rather
+# than BasicBlock (reference mink_unet.py:385-397)
+_MINK_BOTTLENECK = {"MinkUNet50", "MinkUNet101"}
+
+
 def _register_mink(name, layers, planes):
     def factory(**kwargs):
         kwargs.setdefault("layers", layers)
         kwargs.setdefault("channels", planes)
+        if name in _MINK_BOTTLENECK:
+            kwargs.setdefault("block", "bottleneck")
         return SpUNet(**kwargs)
 
     MODELS.register_module(name=name, module=factory)

@@ -96,6 +96,40 @@ class BasicBlock(nn.Module):
         return jnp.where(mask[..., None], h, 0.0)
 
 
+class Bottleneck(nn.Module):
+    """1-3-1 bottleneck residual block with expansion 4 — the block the
+    deeper MinkUNet variants (50/101) are built from (reference:
+    mink_unet.py:95-156). ``channels`` is the bottleneck width; the block
+    output carries ``channels * 4``."""
+
+    channels: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, feat, mask, nbr_idx, nbr_valid, ura):
+        C = self.channels
+        CO = C * self.expansion
+        one_idx = jnp.broadcast_to(
+            jnp.arange(feat.shape[1], dtype=jnp.int32)[None, :, None],
+            (feat.shape[0], feat.shape[1], 1),
+        )
+        if feat.shape[-1] != CO:
+            residual = SubMConv(CO, 1, name="proj")(
+                feat, one_idx, mask[:, :, None]
+            )
+            residual = SparseBN(CO, name="proj_bn")(residual, mask, ura)
+        else:
+            residual = feat
+        h = SubMConv(C, 1, name="conv1")(feat, one_idx, mask[:, :, None])
+        h = nn.relu(SparseBN(C, name="bn1")(h, mask, ura))
+        h = SubMConv(C, 3, name="conv2")(h, nbr_idx, nbr_valid)
+        h = nn.relu(SparseBN(C, name="bn2")(h, mask, ura))
+        h = SubMConv(CO, 1, name="conv3")(h, one_idx, mask[:, :, None])
+        h = SparseBN(CO, name="bn3")(h, mask, ura)
+        h = nn.relu(h + residual)
+        return jnp.where(mask[..., None], h, 0.0)
+
+
 @MODELS.register_module("SpUNet-v1m1")
 class SpUNet(nn.Module):
     in_channels: int
@@ -104,6 +138,9 @@ class SpUNet(nn.Module):
     channels: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 96, 96)
     layers: Tuple[int, ...] = (2, 3, 4, 6, 2, 2, 2, 2)
     cls_mode: bool = False
+    # residual block family: "basic" (2x k3) or "bottleneck" (1-3-1,
+    # expansion 4 — MinkUNet50/101, reference mink_unet.py:385-397)
+    block: str = "basic"
     # static voxel capacity per downsample stage (fraction of previous)
     stage_cap_ratios: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
 
@@ -150,8 +187,9 @@ class SpUNet(nn.Module):
             cur_dc, cur_mask = out_dc, out_mask
             table_s = build_table(cur_dc, cur_mask)
             idx3, val3 = neighbor_idx(table_s, cur_dc, cur_dc, cur_mask, offs3)
+            Block = Bottleneck if self.block == "bottleneck" else BasicBlock
             for i in range(self.layers[s]):
-                h = BasicBlock(self.channels[s], name=f"enc{s}_block{i}")(
+                h = Block(self.channels[s], name=f"enc{s}_block{i}")(
                     h, cur_mask, idx3, val3, ura
                 )
 
@@ -186,8 +224,9 @@ class SpUNet(nn.Module):
                 idx3, val3 = neighbor_idx(
                     table_f, fine_dc, fine_dc, fine_mask, offs3
                 )
+                Block = Bottleneck if self.block == "bottleneck" else BasicBlock
                 for i in range(self.layers[len(self.channels) - s - 1]):
-                    h = BasicBlock(dec_c, name=f"dec{s}_block{i}")(
+                    h = Block(dec_c, name=f"dec{s}_block{i}")(
                         h, fine_mask, idx3, val3, ura
                     )
                 cur_dc, cur_mask = fine_dc, fine_mask

@@ -28,21 +28,38 @@ def _merge_kernel(d2_ref, idx_ref, out_d2_ref, out_idx_ref, *, k: int):
     ids = idx_ref[0]
     width = s.shape[1]
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # Pack (score, column) into one f32: scores are non-negative, so
+    # their bit patterns order like the floats; stealing the 6 mantissa
+    # LSBs for the column (P*k <= 64) makes a single min reduce return
+    # the min score AND a deterministic argmin column (lowest column on
+    # ties). Score error from the truncation is <= 2^-17 relative —
+    # far below the f32 distance noise of the window search itself.
+    sbits = lax.bitcast_convert_type(s, jnp.int32)
+    packed = lax.bitcast_convert_type(
+        (sbits & jnp.int32(~63)) | col, jnp.float32
+    )
+    big_packed = jnp.float32(_BIG)
     d2_cols = []
     idx_cols = []
     imax = jnp.int32(np.iinfo(np.int32).max)
     for _ in range(k):
-        m = jnp.min(s, axis=1)  # (T,)
-        am = jnp.min(jnp.where(s <= m[:, None], col, width), axis=1)
+        m = jnp.min(packed, axis=1)  # (T,) min score with its column
+        am = lax.bitcast_convert_type(m, jnp.int32) & 63
         # gather-free id select: reduce over the argmin column
         chosen = jnp.min(
             jnp.where(col == am[:, None], ids, imax), axis=1
         )  # (T,)
-        d2_cols.append(m)
+        d2_cols.append(lax.bitcast_convert_type(
+            lax.bitcast_convert_type(m, jnp.int32) & jnp.int32(~63),
+            jnp.float32,
+        ))
         idx_cols.append(chosen)
         # mask every slot holding the emitted candidate id (dedup) —
         # only where still active, so an id never re-emits
-        s = jnp.where((ids == chosen[:, None]) & (s < _BIG / 2), _BIG, s)
+        packed = jnp.where(
+            (ids == chosen[:, None]) & (packed < big_packed / 2),
+            big_packed, packed,
+        )
     out_d2_ref[0] = jnp.stack(d2_cols, axis=1)
     out_idx_ref[0] = jnp.stack(idx_cols, axis=1)
 

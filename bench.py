@@ -1,18 +1,26 @@
 """Benchmark: PT-v2m2 S3DIS-config training step throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline: the reference (jihun1998/AO) publishes no throughput numbers
 (BASELINE.md). The comparison constant below is an estimate of the
 reference PT-v2m2 S3DIS train-step throughput on ONE A100: reference runs
 batch 12 on 4 GPUs (3 scenes/GPU/step) with torch+CUDA kNN at ~0.9-1.1 s
-per step at 80k pts/scene => ~3.0 scenes/sec per A100. The north star is
->=2x that per chip (BASELINE.md), i.e. vs_baseline >= 2.0 at parity.
+per step at the config's 80k-point crop => ~3.0 scenes/sec per A100.
+
+The HEADLINE number is the config-faithful workload — B=3 scenes/chip at
+N=81920 padded points (configs/s3dis/semseg-pt-v2m2-0-base.py crops to
+80000, SphereCrop) — measured fwd+bwd+optimizer with donated buffers,
+exactly like the trainer's jitted step. A second entry reports the
+average-scene bucket (N=40960: most rooms carry 20-60k points after the
+0.04 m grid), whose honest baseline is correspondingly ~2x faster
+(A100 step time is roughly linear in points over this range).
 
 Timing note: jax.block_until_ready does not synchronise on the tunneled
 axon platform — a host transfer forces completion.
 """
 
+import functools
 import json
 import os
 import sys
@@ -22,15 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-A100_REFERENCE_SCENES_PER_SEC = 3.0  # estimated; see module docstring
+A100_SCENES_PER_SEC_80K = 3.0   # estimated; see module docstring
+A100_SCENES_PER_SEC_40K = 6.0   # ~linear in points
 
-# S3DIS-scale workload. The reference crops to at most 80000 points
-# (configs/s3dis/semseg-pt-v2m2-0-base.py:96), but after 0.04 m grid
-# sampling most rooms carry 20-60k points, so the average padded bucket is
-# ~40k — N=40960 represents the real per-scene load (at the full 80k crop
-# the per-POINT throughput is higher still: 0.21 vs 0.17 Mpts/s).
-BATCH = 2
-NUM_POINTS = 40960
 STEPS = 8
 
 
@@ -40,13 +42,8 @@ def sync(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
-def main():
+def measure(batch, num_points):
     import jax
-
-    cache_dir = os.environ.get("AO_COMPILE_CACHE", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-
     import jax.numpy as jnp
     import optax
 
@@ -57,14 +54,14 @@ def main():
     criteria = build_criteria([dict(type="CrossEntropyLoss", ignore_index=-1)])
     tx = optax.adamw(6e-3, weight_decay=0.05)
 
-    coord, feat, mask, segment = _example_batch(BATCH, NUM_POINTS)
+    coord, feat, mask, segment = _example_batch(batch, num_points)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, coord, feat, mask
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     opt_state = jax.jit(tx.init)(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, rng):
         def loss_fn(p):
             logits, mut = model.apply(
@@ -80,12 +77,10 @@ def main():
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
     rng = jax.random.PRNGKey(1)
-    # warmup/compile
     params, batch_stats, opt_state, loss = train_step(
         params, batch_stats, opt_state, rng
     )
     sync(loss)
-
     t0 = time.time()
     for _ in range(STEPS):
         params, batch_stats, opt_state, loss = train_step(
@@ -93,20 +88,28 @@ def main():
         )
     sync(loss)
     dt = (time.time() - t0) / STEPS
-    scenes_per_sec = BATCH / dt
+    return batch / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "ptv2m2_s3dis_train_scenes_per_sec_per_chip",
-                "value": round(scenes_per_sec, 3),
-                "unit": f"scenes/sec/chip (B={BATCH}, N={NUM_POINTS}, fwd+bwd+opt)",
-                "vs_baseline": round(
-                    scenes_per_sec / A100_REFERENCE_SCENES_PER_SEC, 3
-                ),
-            }
-        )
-    )
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("AO_COMPILE_CACHE", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    sps_80k = measure(3, 81920)
+    sps_40k = measure(3, 40960)
+
+    print(json.dumps({
+        "metric": "ptv2m2_s3dis_train_scenes_per_sec_per_chip",
+        "value": round(sps_80k, 3),
+        "unit": "scenes/sec/chip (B=3, N=81920 config-faithful, fwd+bwd+opt)",
+        "vs_baseline": round(sps_80k / A100_SCENES_PER_SEC_80K, 3),
+        "secondary_value_40k": round(sps_40k, 3),
+        "secondary_unit": "scenes/sec/chip (B=3, N=40960 average-scene)",
+        "secondary_vs_baseline": round(sps_40k / A100_SCENES_PER_SEC_40K, 3),
+    }))
 
 
 if __name__ == "__main__":
