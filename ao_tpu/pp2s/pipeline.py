@@ -32,7 +32,7 @@ import numpy as np
 from ao_tpu.datasets.defaults import load_scene
 from ao_tpu.utils.logger import get_root_logger
 
-from .projection import align_room, compute_bridge
+from .projection import align_room, compute_bridge, project_points
 from .labels import (
     choose_weak_labels,
     make_basket,
@@ -179,6 +179,110 @@ class PP2SPipeline:
                     if bridge[:, 2].any():
                         np.save(out, bridge)
                 self.logger.info(f"bridges done: {area}/{room}")
+
+
+    # ---- stage 0 (rendering variant): synthesise frames from points ----
+    def run_render_frames(self, views: int = 6, size: int = 512,
+                          splat: int = 2):
+        """Rendering-based PP2S (reference: my_run_sam_render.py +
+        my_decode_embedding_rendering.py — research drafts that feed SAM
+        point-cloud renderings instead of real captures). Rasterises each
+        room's coloured points from ``views`` synthetic viewpoints with a
+        z-buffer splat and writes rgb/depth/pose files in the exact
+        S2D3D layout, so embeddings/bridges/labels run unchanged on the
+        rendered frames."""
+        import json as _json
+
+        from PIL import Image
+
+        f = 0.8 * size
+        K = np.array([[f, 0, (size + 1) / 2],
+                      [0, f, (size + 1) / 2],
+                      [0, 0, 1.0]])
+        for area in self.areas:
+            for room in self.rooms(area):
+                data = self.load_room(area, room)
+                coord = self.aligned_coord(area, room, data)
+                color = np.asarray(data.get("color"), np.float32)
+                if color is None or color.size == 0:
+                    color = np.full_like(coord, 127.0)
+                if color.max() <= 1.0:
+                    color = color * 255.0
+                lo, hi = coord.min(0), coord.max(0)
+                center = (lo + hi) / 2
+                radius = float(np.linalg.norm((hi - lo)[:2]) / 2) + 1e-3
+                eye_z = lo[2] + 0.8 * (hi[2] - lo[2])
+                frames = []
+                for v in range(views):
+                    yaw = 2 * np.pi * v / views
+                    eye = np.array([
+                        center[0] + 0.35 * radius * np.cos(yaw),
+                        center[1] + 0.35 * radius * np.sin(yaw),
+                        eye_z,
+                    ])
+                    look = center - eye
+                    look = look / (np.linalg.norm(look) + 1e-9)
+                    up = np.array([0.0, 0.0, 1.0])
+                    right = np.cross(look, up)
+                    right /= np.linalg.norm(right) + 1e-9
+                    down = np.cross(look, right)
+                    R = np.stack([right, down, look])  # world -> cam rows
+                    t = -R @ eye
+                    rt = np.concatenate([R, t[:, None]], axis=1)
+                    # same projection as compute_bridge (projection.py:28)
+                    pix, z = project_points(coord, K, rt)
+                    keep = (
+                        (z > 0.1)
+                        & np.isfinite(pix).all(1)
+                        & (pix[:, 0] >= 0) & (pix[:, 0] < size)
+                        & (pix[:, 1] >= 0) & (pix[:, 1] < size)
+                    )
+                    ui = pix[keep, 0].astype(np.int64)
+                    vi = pix[keep, 1].astype(np.int64)
+                    zk = z[keep]
+                    ck = color[keep]
+                    # z-buffer: write far-to-near so the nearest point wins
+                    order = np.argsort(-zk)
+                    rgb = np.zeros((size, size, 3), np.uint8)
+                    depth = np.zeros((size, size), np.float64)
+                    for dy in range(-splat, splat + 1):
+                        for dx in range(-splat, splat + 1):
+                            yy = np.clip(vi[order] + dy, 0, size - 1)
+                            xx = np.clip(ui[order] + dx, 0, size - 1)
+                            rgb[yy, xx] = ck[order].astype(np.uint8)
+                            depth[yy, xx] = zk[order]
+                    frame = f"camera_render{v:02d}_{room}_rgb"
+                    rgb_dir = self._p("S2D3D", area, "data", "rgb")
+                    dep_dir = self._p("S2D3D", area, "data", "depth")
+                    pose_dir = self._p("S2D3D", area, "data", "pose")
+                    for d in (rgb_dir, dep_dir, pose_dir):
+                        os.makedirs(d, exist_ok=True)
+                    Image.fromarray(rgb).save(
+                        os.path.join(rgb_dir, frame + ".png")
+                    )
+                    d16 = np.clip(
+                        depth * self.depth_divisor, 0, 65535
+                    ).astype(np.uint16)
+                    Image.fromarray(d16, mode="I;16").save(
+                        os.path.join(
+                            dep_dir, frame.replace("rgb", "depth") + ".png"
+                        )
+                    )
+                    with open(os.path.join(
+                        pose_dir, frame.replace("rgb", "pose") + ".json"
+                    ), "w") as fh:
+                        _json.dump({
+                            "camera_k_matrix": K.tolist(),
+                            "camera_rt_matrix": rt.tolist(),
+                        }, fh)
+                    frames.append(frame)
+                lst_dir = self._p("used_imgs", area)
+                os.makedirs(lst_dir, exist_ok=True)
+                with open(os.path.join(lst_dir, room + ".txt"), "w") as fh:
+                    fh.write("\n".join(frame + ".png" for frame in frames))
+                self.logger.info(
+                    f"rendered {views} frames: {area}/{room}"
+                )
 
     # ---- stage 3: weak labels ----
     def run_weak_labels(self):

@@ -197,3 +197,40 @@ def test_radius_prompt_search_suppression():
     # point 5 fails the confidence threshold
     assert sorted(idx.tolist()) == [0, 4]
     assert (cls == 2).all()
+
+
+def test_render_frames_stage(tmp_path):
+    """Rendering-variant stage: synthesised rgb/depth/pose frames must be
+    consumable by the unchanged bridge stage, and the rendered depth must
+    make a sizable fraction of points visible."""
+    import numpy as np
+
+    from ao_tpu.pp2s.pipeline import PP2SPipeline
+
+    root = tmp_path / "data"
+    (root / "s3dis" / "Area_1").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    coord = rng.uniform(0, 4, (4000, 3)).astype(np.float32)
+    coord[:, 2] *= 0.7
+    color = rng.integers(0, 255, (4000, 3)).astype(np.float32)
+    segment = rng.integers(0, 13, (4000,)).astype(np.int64)
+    np.savez(root / "s3dis" / "Area_1" / "office_1.npz",
+             coord=coord, color=color, segment=segment)
+
+    pipe = PP2SPipeline(data_root=str(root), areas=("Area_1",))
+    pipe.run_render_frames(views=3, size=128, splat=1)
+
+    frames = pipe.frames("Area_1", "office_1")
+    assert len(frames) == 3
+    for frame in frames:
+        assert (root / "S2D3D" / "Area_1" / "data" / "rgb"
+                / f"{frame}.png").is_file()
+        k, rt = pipe.pose("Area_1", frame)
+        assert k.shape == (3, 3) and rt.shape == (3, 4)
+
+    pipe.run_bridges()
+    import glob as g
+    bridges = sorted(g.glob(str(root / "bridge" / "Area_1" / "office_1" / "*.npy")))
+    assert len(bridges) >= 1
+    vis_frac = max(np.load(b)[:, 2].mean() for b in bridges)
+    assert vis_frac > 0.1, f"too few visible points: {vis_frac}"

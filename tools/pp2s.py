@@ -18,8 +18,8 @@ def main():
                    choices=["vit_h", "vit_l", "vit_b", "tiny"])
     p.add_argument(
         "--stage", default="all",
-        choices=["embeddings", "bridges", "weak_labels", "basket",
-                 "sam_labels", "all"],
+        choices=["render_frames", "embeddings", "bridges", "weak_labels",
+                 "basket", "sam_labels", "all"],
     )
     p.add_argument("--areas", nargs="+", default=None)
     args = p.parse_args()
