@@ -57,10 +57,14 @@ def grid_prompt_search(
     classes_present: np.ndarray,  # GT-present class ids
     grid_scale: float = 0.5,
     conf_thresh: float = 0.9,
+    require_disagreement: bool = True,
 ):
     """Vectorised grid prompt mining (reference :361-390): per (0.5 m XY
     cell, present class), the max-confidence point predicted as that class
     whose current label disagrees, if its confidence exceeds the threshold.
+    ``require_disagreement=False`` is the query ablation
+    (train_sam_final_query_abl.py:370-375): any max-confidence point of
+    the class qualifies, with the threshold raised to 0.95 by its config.
     Returns (prompt_idx (P,), prompt_cls (P,))."""
     lo = coord[:, :2].min(0)
     cell = np.floor((coord[:, :2] - lo) / grid_scale).astype(np.int64)
@@ -69,10 +73,11 @@ def grid_prompt_search(
 
     candidate = (
         np.isin(seg_pred, classes_present)
-        & (sam_label != seg_pred)
         & (confidence > conf_thresh)
         & (seg_pred >= 0)
     )
+    if require_disagreement:
+        candidate &= sam_label != seg_pred
     idx = np.where(candidate)[0]
     if idx.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
@@ -326,6 +331,13 @@ class RealTrainer(Trainer):
                 prompt_idx, prompt_cls = radius_prompt_search(
                     coord, seg_pred, confidence, sam_label, classes_present,
                     self.radius_scale, max(self.conf_thresh, 0.95),
+                )
+            elif self.prompt_search == "grid_query_abl":
+                prompt_idx, prompt_cls = grid_prompt_search(
+                    coord, seg_pred, confidence, sam_label,
+                    classes_present,
+                    conf_thresh=max(self.conf_thresh, 0.95),
+                    require_disagreement=False,
                 )
             else:
                 prompt_idx, prompt_cls = grid_prompt_search(

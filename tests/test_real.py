@@ -37,6 +37,27 @@ class TestGridPromptSearch:
         )
         assert idx.size == 0
 
+    def test_query_ablation_drops_disagreement_requirement(self):
+        """train_sam_final_query_abl.py:370-375: the ablation prompts the
+        max-confidence point of a class even when its current label
+        already agrees (threshold 0.95)."""
+        coord = np.array(
+            [[0.1, 0.1, 0], [0.2, 0.2, 0], [0.3, 0.1, 0]], np.float32
+        )
+        seg_pred = np.array([2, 2, 2])
+        conf = np.array([0.97, 0.99, 0.96])
+        sam_label = np.array([2, 2, 2])  # all agree: incognita empty
+        idx, cls = grid_prompt_search(
+            coord, seg_pred, conf, sam_label, np.array([2])
+        )
+        assert idx.size == 0  # release behaviour: nothing to prompt
+        idx, cls = grid_prompt_search(
+            coord, seg_pred, conf, sam_label, np.array([2]),
+            conf_thresh=0.95, require_disagreement=False,
+        )
+        assert idx.tolist() == [1]
+        assert cls.tolist() == [2]
+
     def test_absent_class_ignored(self):
         coord = np.zeros((2, 3), np.float32)
         seg_pred = np.array([3, 3])
