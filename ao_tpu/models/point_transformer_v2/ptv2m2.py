@@ -121,7 +121,11 @@ class GroupedVectorAttention(nn.Module):
 
     @nn.compact
     def __call__(self, feat, coord, pos, idx, idx_valid, mask,
-                 deterministic: bool = True, use_running_average: bool = False):
+                 deterministic: bool = True, use_running_average: bool = False,
+                 pos_moments=None):
+        """Returns (out, pos_moments): the position moments depend only on
+        (coord, idx) — callers cache them per stage and pass them back so
+        the Pallas pos pass runs once per resolution, not per block."""
         C, G = self.embed_channels, self.groups
         ura = use_running_average
         q = nn.relu(
@@ -142,7 +146,7 @@ class GroupedVectorAttention(nn.Module):
                 and not self.grouped_linear):
             return self._legacy_attention(
                 q, k, v, pos, idx, idx_valid, mask, deterministic, ura
-            )
+            ), None
 
         # v2m2 path: raw parameters shared by the fused TPU kernel and the
         # unfused jnp composition (ops/pallas/gva_fused.py — one source of
@@ -199,7 +203,10 @@ class GroupedVectorAttention(nn.Module):
         # packed coordinate lanes of the gathered rows (a second XLA-side
         # (B,N,S,3) gather tile-pads 3 -> 128 lanes in HBM — ~2 GB of
         # temp at full resolution, enough to OOM the B=3/80k step).
-        pos_moments = None
+        if pos_moments is None and fused and not ura:
+            pos_moments = _gvaf.compute_pos_moments(
+                kvp, qrow, validb, S, C, G, TQ
+            )
 
         if ura:
             rp = (pe_mean.value, pe_var.value)
@@ -229,7 +236,7 @@ class GroupedVectorAttention(nn.Module):
             )
             self._update_bn(pe_mean, pe_var, mu_p, var_p, n_p)
             self._update_bn(we_mean, we_var, mu_w, var_w, n_w)
-        return out[:, :N]
+        return out[:, :N], pos_moments
 
     def _legacy_attention(self, q, k, v, pos, idx, idx_valid, mask,
                           deterministic, ura):
@@ -301,7 +308,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, feat, coord, pos, idx, idx_valid, mask,
-                 deterministic: bool = True, use_running_average: bool = False):
+                 deterministic: bool = True, use_running_average: bool = False,
+                 pos_moments=None):
         C = self.embed_channels
         ura = use_running_average
         identity = feat
@@ -310,7 +318,7 @@ class Block(nn.Module):
                 nn.Dense(C, use_bias=False, dtype=self.dtype)(feat), mask, ura
             )
         )
-        h = GroupedVectorAttention(
+        h, pos_moments = GroupedVectorAttention(
             embed_channels=C,
             groups=self.groups,
             qkv_bias=self.qkv_bias,
@@ -319,14 +327,15 @@ class Block(nn.Module):
             pe_bias=self.pe_bias,
             grouped_linear=self.grouped_linear,
             dtype=self.dtype,
-        )(h, coord, pos, idx, idx_valid, mask, deterministic, ura)
+        )(h, coord, pos, idx, idx_valid, mask, deterministic, ura,
+          pos_moments)
         h = nn.relu(PointBatchNorm(C)(h, mask, ura))
         h = PointBatchNorm(C)(
             nn.Dense(C, use_bias=False, dtype=self.dtype)(h), mask, ura
         )
         h = identity + DropPath(self.drop_path_rate)(h, deterministic)
         h = nn.relu(h)
-        return jnp.where(mask[:, :, None], h, 0.0)
+        return jnp.where(mask[:, :, None], h, 0.0), pos_moments
 
 
 class BlockSequence(nn.Module):
@@ -352,10 +361,12 @@ class BlockSequence(nn.Module):
         # gather is row-bound (~8ms at 40k points) and identical for every
         # block at a resolution.
         if knn_cache is not None:
-            idx, idx_valid, pos = knn_cache
+            idx, idx_valid, pos = knn_cache[:3]
+            pos_moments = knn_cache[3] if len(knn_cache) > 3 else None
         else:
             idx, _, idx_valid = _self_knn(coord, mask, self.neighbours)
             pos = None
+            pos_moments = None
         legacy = not (self.pe_bias and not self.pe_multiplier
                       and not self.grouped_linear)
         if pos is None and legacy:
@@ -371,7 +382,7 @@ class BlockSequence(nn.Module):
             else Block
         )
         for i in range(self.depth):
-            feat = block_cls(
+            feat, pos_moments = block_cls(
                 embed_channels=self.embed_channels,
                 groups=self.groups,
                 qkv_bias=self.qkv_bias,
@@ -382,8 +393,8 @@ class BlockSequence(nn.Module):
                 grouped_linear=self.grouped_linear,
                 dtype=self.dtype,
             )(feat, coord, pos, idx, idx_valid, mask,
-               deterministic, use_running_average)
-        return feat, (idx, idx_valid, pos)
+               deterministic, use_running_average, pos_moments)
+        return feat, (idx, idx_valid, pos, pos_moments)
 
 
 class GridPoolLayer(nn.Module):

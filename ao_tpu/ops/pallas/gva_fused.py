@@ -469,6 +469,37 @@ def _fold_w(W1, b1, gw, bw, mu_w, var_w):
     return W1 * sw[None, :], b1 * sw + cw, sw, inv_w
 
 
+def compute_pos_moments(kvp, qrow, valid, S, C, G, TQ, interpret=False):
+    """Run only the position-moments pass. The moments depend solely on
+    (coordinates, neighbour graph), which every block of a stage shares —
+    callers compute them once per stage and feed them to each block's
+    gva_core instead of paying the pass per block."""
+    # moments are non-differentiable (coordinates + graph only); without
+    # this the raw pallas_call would be caught by jvp tracing when called
+    # outside gva_core's custom_vjp
+    kvp, qrow, valid = jax.tree_util.tree_map(
+        lax.stop_gradient, (kvp, qrow, valid)
+    )
+    B, NS, row_w = kvp.shape
+    N = NS // S
+    q_w = qrow.shape[-1]
+    grid = (B, N // TQ)
+    kvp_s, qrow_s, vspec, const, outn = _specs(S, C, TQ, row_w, q_w)
+    SW = _stats_w(C, G)
+    psums = _run(
+        _pos_kernel, grid,
+        [kvp_s, qrow_s, vspec],
+        pl.BlockSpec((5, SW), lambda b, t: (0, 0)),
+        jax.ShapeDtypeStruct((5, SW), jnp.float32),
+        (kvp, qrow, valid),
+        interpret, C=C, S=S, G=G, TQ=TQ,
+    )
+    psums = lax.optimization_barrier(psums)
+    return jax.tree_util.tree_map(
+        lax.stop_gradient, (psums[0, :3], psums[1:4, :3], psums[4, 0])
+    )
+
+
 def _fwd_inner(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
                pos_moments, S, C, G, TQ, interpret):
     W1, b1, gw, bw, W2, b2 = wparams
@@ -480,16 +511,9 @@ def _fwd_inner(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
     SW = _stats_w(C, G)
 
     if pos_moments is None:
-        psums = _run(
-            _pos_kernel, grid,
-            [kvp_s, qrow_s, vspec],
-            pl.BlockSpec((5, SW), lambda b, t: (0, 0)),
-            jax.ShapeDtypeStruct((5, SW), jnp.float32),
-            (kvp, qrow, valid),
-            interpret, C=C, S=S, G=G, TQ=TQ,
+        pos_moments = compute_pos_moments(
+            kvp, qrow, valid, S, C, G, TQ, interpret
         )
-        psums = lax.optimization_barrier(psums)
-        pos_moments = (psums[0, :3], psums[1:4, :3], psums[4, 0])
     pos_moments = jax.tree_util.tree_map(lax.stop_gradient, pos_moments)
 
     A, cA, mu_p, var_p, _, _ = _fold_pe(Wp1, bp1, gp, bp, pos_moments)
