@@ -157,8 +157,14 @@ def _window_probe(query, key, qmask, kmask, k, tile_q, window, shift,
     hi = jnp.max(jnp.where(kmask[..., None], key, -big), axis=1)
     code_k = morton_code_with_bbox(key, kmask, lo, hi, shift)
     order_k = jnp.argsort(code_k, axis=1)
-    k_sorted = _take_rows(key, order_k)
-    pen = jnp.where(_take_rows(kmask, order_k), np.float32(0), _BIG)
+    # mask rides the coord gather as a 4th lane (both pad to 128 lanes —
+    # the extra lane is free; a separate (B, N) mask gather is not)
+    km = jnp.concatenate(
+        [key, kmask.astype(key.dtype)[..., None]], axis=-1
+    )
+    km_sorted = _take_rows(km, order_k)
+    k_sorted = km_sorted[..., :3]
+    pen = jnp.where(km_sorted[..., 3] > 0, np.float32(0), _BIG)
     # Pad keys to a 128 multiple so the clip bound (Nk - window) stays
     # 128-aligned: otherwise rounding window starts down uncovers the last
     # <=127 curve positions for tail queries.
@@ -200,19 +206,33 @@ def _window_probe(query, key, qmask, kmask, k, tile_q, window, shift,
     s, idx_orig = _window_search(
         k_sorted, k2, order_k_pad, q_sorted, ws, k, tile_q, window
     )
-    q_rows = _take_rows(query, order_q)
-    q2 = jnp.sum(q_rows * q_rows, axis=-1)
-    q2 = jnp.pad(q2, ((0, 0), (0, Nqp - Nq)))
+    if self_mode:
+        # queries ARE the sorted keys: |q|^2 = k2 - pen (pen is 0 on valid
+        # rows; invalid rows blow up d2, which their mask discards anyway)
+        # — saves a (B, N, 3) row gather per probe (3 -> 128 lane padding
+        # makes those gathers 42x their logical bytes).
+        q2 = k2[:, :Nq]
+        q2 = jnp.pad(q2, ((0, 0), (0, Nqp - Nq)))
+    else:
+        q_rows = _take_rows(query, order_q)
+        q2 = jnp.sum(q_rows * q_rows, axis=-1)
+        q2 = jnp.pad(q2, ((0, 0), (0, Nqp - Nq)))
     d2 = (s + q2[:, :, None])[:, :Nq]
     # ids selected from key padding (only when <k valid keys exist) are
     # flagged invalid via their _BIG scores; _finalize clamps before gathers
     idx_orig = jnp.clip(idx_orig[:, :Nq], 0, None).astype(jnp.int32)
     d2 = jnp.where(s[:, :Nq] > _BIG / 2, _BIG, d2)
     # Map rows back to the original query order by inverse permutation
-    # (a gather — cheaper and batch-friendly vs scatter).
+    # (a gather — cheaper and batch-friendly vs scatter). One packed
+    # gather for scores+ids: int32 bit patterns ride as f32 lanes, halving
+    # the row-bound unsort traffic.
     inv_q = jnp.argsort(order_q, axis=1)
-    out_d2 = _take_rows(d2, inv_q)
-    out_idx = _take_rows(idx_orig, inv_q)
+    packed = jnp.concatenate(
+        [d2, lax.bitcast_convert_type(idx_orig, jnp.float32)], axis=-1
+    )
+    out = _take_rows(packed, inv_q)
+    out_d2 = out[..., :k]
+    out_idx = lax.bitcast_convert_type(out[..., k:], jnp.int32)
     return out_d2, out_idx
 
 
