@@ -95,12 +95,11 @@ class TestPTv2:
     def test_forward_shapes(self, rng):
         coord, feat, mask = make_batch(rng)
         model = build_model(tiny_ptv2_cfg())
-        variables = model.init(
+        variables = jax.jit(model.init)(
             {"params": jax.random.PRNGKey(0)}, coord, feat, mask
         )
-        logits, _ = model.apply(
-            variables, coord, feat, mask, mutable=["batch_stats"]
-        )
+        logits, _ = jax.jit(lambda v, c, f, m: model.apply(
+            v, c, f, m, mutable=["batch_stats"]))(variables, coord, feat, mask)
         assert logits.shape == (2, 256, 5)
         assert np.isfinite(np.asarray(logits)).all()
 
@@ -155,8 +154,11 @@ class TestPTv2:
         cfg = tiny_ptv2_cfg()
         cfg["backbone"]["unpool_backend"] = "interp"
         model = build_model(cfg)
-        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
-        logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
+        logits, _ = jax.jit(lambda v, c, f, m: model.apply(
+            v, c, f, m, mutable=["batch_stats"]))(variables, coord, feat, mask)
         assert logits.shape == (1, 128, 5)
         assert np.isfinite(np.asarray(logits)).all()
 
@@ -296,8 +298,11 @@ class TestPTv1:
                 ),
             )
         )
-        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
-        logits, _ = model.apply(variables, coord, feat, mask, mutable=["batch_stats"])
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
+        logits, _ = jax.jit(lambda v, c, f, m: model.apply(
+            v, c, f, m, mutable=["batch_stats"]))(variables, coord, feat, mask)
         assert np.isfinite(np.asarray(logits)).all()
 
 
@@ -497,14 +502,15 @@ class TestPointGroup:
                 semantic_num_classes=5,
             )
         )
-        variables = model.init(
+        variables = jax.jit(model.init)(
             {"params": jax.random.PRNGKey(0)},
             jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(mask),
         )
-        (seg_logits, bias_pred), _ = model.apply(
-            variables, jnp.asarray(coord), jnp.asarray(feat),
-            jnp.asarray(mask), mutable=["batch_stats"],
-        )
+        (seg_logits, bias_pred), _ = jax.jit(
+            lambda v, c, f, m: model.apply(v, c, f, m,
+                                           mutable=["batch_stats"])
+        )(variables, jnp.asarray(coord), jnp.asarray(feat),
+          jnp.asarray(mask))
         assert seg_logits.shape == (B, N, 5)
         assert bias_pred.shape == (B, N, 3)
         segment = jnp.asarray(rng.integers(0, 5, size=(B, N)).astype(np.int32))
@@ -794,19 +800,21 @@ class TestSwin3DCRSE:
     def test_tables_exist_and_color_changes_output(self, rng):
         model = self._model()
         coord, feat, mask = make_batch(rng, B=1, N=256)
-        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
         flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
         names = [jax.tree_util.keystr(p) for p, _ in flat]
         for t in ("xyz_q_table", "xyz_k_table", "xyz_v_table",
                   "rgb_q_table", "rgb_k_table", "rgb_v_table"):
             assert any(t in n for n in names), t
 
-        logits, _ = model.apply(variables, coord, feat, mask,
-                                mutable=["batch_stats"])
+        apply = jax.jit(lambda v, c, f, m: model.apply(
+            v, c, f, m, mutable=["batch_stats"]))
+        logits, _ = apply(variables, coord, feat, mask)
         # perturb ONLY the color channels (3:6): the cRSE tables see it
         feat2 = feat.at[..., 3:6].add(0.5)
-        logits2, _ = model.apply(variables, coord, feat2, mask,
-                                 mutable=["batch_stats"])
+        logits2, _ = apply(variables, coord, feat2, mask)
         assert float(jnp.abs(logits - logits2).max()) > 1e-5
 
     @pytest.mark.slow
@@ -847,9 +855,14 @@ class TestSPVCNNFusion:
         ))
         coord, feat, mask = make_batch(rng, B=1, N=384)
         coord = coord * 8  # spread over several voxels
-        variables = model.init({"params": jax.random.PRNGKey(0)}, coord, feat, mask)
-        out1, _ = model.apply(variables, coord, feat, mask,
-                              mutable=["batch_stats"])
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
+        apply = jax.jit(
+            lambda v, c, f, m: model.apply(v, c, f, m,
+                                           mutable=["batch_stats"])
+        )
+        out1, _ = apply(variables, coord, feat, mask)
         assert out1.shape == (1, 384, 5)
 
         # zero the bottleneck fusion transform (z1 = devox(x4) + pt0(z0));
@@ -862,10 +875,10 @@ class TestSPVCNNFusion:
             jnp.zeros_like, params["point_transform0"]
         )
         params2 = dict(params, point_transform0=zeroed)
-        out2, _ = model.apply(
+        out2, _ = apply(
             {"params": params2,
              "batch_stats": variables.get("batch_stats", {})},
-            coord, feat, mask, mutable=["batch_stats"],
+            coord, feat, mask,
         )
         assert float(jnp.abs(out1 - out2).max()) > 1e-5
 
@@ -944,7 +957,9 @@ class TestMinkBottleneck:
         flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
         names = {"/".join(str(k) for k in path) for path, _ in flat}
         assert any("conv3" in n for n in names), "no 1-3-1 bottleneck convs"
-        out = model.apply(variables, coord, feat, mask, True, True)
+        out = jax.jit(
+            lambda v, c, f, m: model.apply(v, c, f, m, True, True)
+        )(variables, coord, feat, mask)
         assert out.shape == (1, 256, 5)
         assert bool(jax.numpy.isfinite(out).all())
 
@@ -995,7 +1010,10 @@ def test_octformer_rpe_table_present_and_used(rng):
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     names = ["/".join(str(k) for k in p) for p, _ in flat]
     assert any("rpe_table" in n for n in names)
-    out0 = model.apply(variables, coord, feat, mask, True, True)
+    apply = jax.jit(
+        lambda v, c, f, m: model.apply(v, c, f, m, True, True)
+    )
+    out0 = apply(variables, coord, feat, mask)
 
     def bump(p, v):
         if "rpe_table" not in "/".join(str(k) for k in p):
@@ -1004,7 +1022,7 @@ def test_octformer_rpe_table_present_and_used(rng):
         return v + jnp.arange(v.shape[0], dtype=v.dtype)[:, None] * 0.1
 
     bumped = jax.tree_util.tree_map_with_path(bump, variables["params"])
-    out1 = model.apply({"params": bumped}, coord, feat, mask, True, True)
+    out1 = apply({"params": bumped}, coord, feat, mask)
     assert float(jnp.max(jnp.abs(out0 - out1))) > 1e-5
 
 
