@@ -186,10 +186,16 @@ class RealTrainer(Trainer):
         self.embedding_root = real_cfg.get("embedding_root", "data/embeddings")
         self.frame_size = tuple(real_cfg.get("frame_size", (1080, 1080)))
         self.grid_scale = real_cfg.get("grid_scale", 0.5)
-        self.conf_thresh = real_cfg.get("conf_thresh", 0.9)
         # "grid" (release) or "radius" (the reference's
         # train_sam_final_radius.py ablation)
         self.prompt_search = real_cfg.get("prompt_search", "grid")
+        # The ablation modes default to the reference's 0.95 threshold
+        # (train_sam_final_radius.py / _query_abl.py); an explicitly
+        # configured conf_thresh always wins, never clamped.
+        default_thresh = (
+            0.95 if self.prompt_search in ("radius", "grid_query_abl") else 0.9
+        )
+        self.conf_thresh = real_cfg.get("conf_thresh", default_thresh)
         self.radius_scale = real_cfg.get("radius_scale", 0.33)
         self.eval_areas = tuple(real_cfg.get("eval_areas", ("Area_1",)))
 
@@ -330,13 +336,14 @@ class RealTrainer(Trainer):
             if self.prompt_search == "radius":
                 prompt_idx, prompt_cls = radius_prompt_search(
                     coord, seg_pred, confidence, sam_label, classes_present,
-                    self.radius_scale, max(self.conf_thresh, 0.95),
+                    self.radius_scale, self.conf_thresh,
                 )
             elif self.prompt_search == "grid_query_abl":
                 prompt_idx, prompt_cls = grid_prompt_search(
                     coord, seg_pred, confidence, sam_label,
                     classes_present,
-                    conf_thresh=max(self.conf_thresh, 0.95),
+                    grid_scale=self.grid_scale,
+                    conf_thresh=self.conf_thresh,
                     require_disagreement=False,
                 )
             else:

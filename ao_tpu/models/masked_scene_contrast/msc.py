@@ -161,11 +161,20 @@ class MaskedSceneContrast(nn.Module):
             rel = c2[:, None, :, :] - c1[:, :, None, :]  # (B, P, P, 3)
             d = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-7)
             upper = rel[..., 2] > 0.0
+            lower = rel[..., 2] < 0.0
             near = (d > self.r1) & (d <= self.r2)
             far = d > self.r2
             eye = jnp.eye(P, dtype=bool)[None]
+            parts = [near & upper, near & lower, far & upper, far & lower]
+            # Pairs with d <= r1 (and exact z ties) stay at the reference's
+            # -1e7 init and form a fifth partition that `part.unique()`
+            # iterates over (v1m2_csc.py:182-200,244) — these are the
+            # nearest, hardest negatives. Normalisation stays /partitions
+            # (=4) as in the reference (`loss /= len(offset)*partitions`).
+            rest = ~(parts[0] | parts[1] | parts[2] | parts[3])
+            parts.append(rest)
             nce = 0.0
-            for pm in (near & upper, near & ~upper, far & upper, far & ~upper):
+            for pm in parts:
                 nce = nce + _masked_nce(pm | eye)
             nce = nce / 4.0
         else:

@@ -63,6 +63,7 @@ def _register_mink(name, layers, planes):
     def factory(**kwargs):
         kwargs.setdefault("layers", layers)
         kwargs.setdefault("channels", planes)
+        kwargs.setdefault("mink_skeleton", True)
         if name in _MINK_BOTTLENECK:
             kwargs.setdefault("block", "bottleneck")
         return SpUNet(**kwargs)

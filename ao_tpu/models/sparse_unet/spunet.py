@@ -141,6 +141,11 @@ class SpUNet(nn.Module):
     # residual block family: "basic" (2x k3) or "bottleneck" (1-3-1,
     # expansion 4 — MinkUNet50/101, reference mink_unet.py:385-397)
     block: str = "basic"
+    # MinkUNet skeleton (reference mink_unet.py:174-306): the stride-2
+    # encoder convs keep their channel count (conv1p1s2..conv4p8s2 are
+    # inplanes -> inplanes) and the stage's first residual block does the
+    # channel projection; SpUNet's down convs change channels directly.
+    mink_skeleton: bool = False
     # static voxel capacity per downsample stage (fraction of previous)
     stage_cap_ratios: Tuple[float, ...] = (0.5, 0.5, 0.5, 0.5)
 
@@ -180,9 +185,10 @@ class SpUNet(nn.Module):
                 in_table, cur_dc, out_dc, out_mask, _K2, stride=2
             )
             skips.append((cur_dc, h, cur_mask, parent))
-            h = SubMConv(self.channels[s], 2, name=f"down{s}")(h, idx2, val2)
+            down_c = h.shape[-1] if self.mink_skeleton else self.channels[s]
+            h = SubMConv(down_c, 2, name=f"down{s}")(h, idx2, val2)
             h = nn.relu(
-                SparseBN(self.channels[s], name=f"down{s}_bn")(h, out_mask, ura)
+                SparseBN(down_c, name=f"down{s}_bn")(h, out_mask, ura)
             )
             cur_dc, cur_mask = out_dc, out_mask
             table_s = build_table(cur_dc, cur_mask)

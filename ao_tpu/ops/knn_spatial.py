@@ -244,7 +244,10 @@ def _merge_probes(d2s, idxs, k):
     then select the k best by score."""
     d2 = jnp.concatenate(d2s, axis=-1)  # (B, N, P*k)
     idx = jnp.concatenate(idxs, axis=-1)
-    if _use_pallas():
+    # The Pallas merge packs the argmin column into the 6 mantissa LSBs of
+    # the score, which is only valid for candidate widths <= 64; wider
+    # merges (large k or probe counts) take the XLA sort path.
+    if _use_pallas() and d2.shape[-1] <= 64:
         from .pallas.merge_topk import merge_topk_dedup
 
         return merge_topk_dedup(d2, idx, k)

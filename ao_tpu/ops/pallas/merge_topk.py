@@ -73,6 +73,12 @@ def merge_topk_dedup(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, N, width = d2.shape
+    if width > 64:
+        raise ValueError(
+            f"merge_topk_dedup packs the argmin column into 6 mantissa bits;"
+            f" candidate width {width} > 64 would corrupt scores/ids —"
+            f" use the XLA sort-merge fallback for wide merges"
+        )
     Npad = -(-N // tile) * tile
     if Npad != N:
         d2 = jnp.pad(d2, ((0, 0), (0, Npad - N), (0, 0)), constant_values=_BIG)

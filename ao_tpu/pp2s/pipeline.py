@@ -203,8 +203,9 @@ class PP2SPipeline:
             for room in self.rooms(area):
                 data = self.load_room(area, room)
                 coord = self.aligned_coord(area, room, data)
-                color = np.asarray(data.get("color"), np.float32)
-                if color is None or color.size == 0:
+                if "color" in data and np.size(data["color"]):
+                    color = np.asarray(data["color"], np.float32)
+                else:
                     color = np.full_like(coord, 127.0)
                 if color.max() <= 1.0:
                     color = color * 255.0
@@ -241,16 +242,29 @@ class PP2SPipeline:
                     vi = pix[keep, 1].astype(np.int64)
                     zk = z[keep]
                     ck = color[keep]
-                    # z-buffer: write far-to-near so the nearest point wins
-                    order = np.argsort(-zk)
+                    # z-buffer: expand every splat offset first, then one
+                    # global far-to-near write — per-offset passes would
+                    # let a later pass overwrite a near pixel with a far
+                    # point's splat, breaking occlusion where splats of
+                    # different depths overlap
+                    offs = [
+                        (dy, dx)
+                        for dy in range(-splat, splat + 1)
+                        for dx in range(-splat, splat + 1)
+                    ]
+                    yy = np.concatenate(
+                        [np.clip(vi + dy, 0, size - 1) for dy, _ in offs]
+                    )
+                    xx = np.concatenate(
+                        [np.clip(ui + dx, 0, size - 1) for _, dx in offs]
+                    )
+                    zz = np.tile(zk, len(offs))
+                    cc = np.tile(ck.astype(np.uint8), (len(offs), 1))
+                    order = np.argsort(-zz, kind="stable")
                     rgb = np.zeros((size, size, 3), np.uint8)
                     depth = np.zeros((size, size), np.float64)
-                    for dy in range(-splat, splat + 1):
-                        for dx in range(-splat, splat + 1):
-                            yy = np.clip(vi[order] + dy, 0, size - 1)
-                            xx = np.clip(ui[order] + dx, 0, size - 1)
-                            rgb[yy, xx] = ck[order].astype(np.uint8)
-                            depth[yy, xx] = zk[order]
+                    rgb[yy[order], xx[order]] = cc[order]
+                    depth[yy[order], xx[order]] = zz[order]
                     frame = f"camera_render{v:02d}_{room}_rgb"
                     rgb_dir = self._p("S2D3D", area, "data", "rgb")
                     dep_dir = self._p("S2D3D", area, "data", "depth")

@@ -985,6 +985,78 @@ class TestMinkBottleneck:
         assert not any("conv3" in n for n in names)
 
 
+class TestMinkSkeleton:
+    """MinkUNet's skeleton differs from SpUNet's (reference
+    mink_unet.py:174-306): the stride-2 encoder convs keep their channel
+    count (conv1p1s2..conv4p8s2 are inplanes -> inplanes; the stage's
+    first residual block projects channels), and the 5^3 conv0p1s1 stem
+    gives a Chebyshev-distance-2 receptive field at full resolution."""
+
+    def _init(self, rng, mink, **kw):
+        import jax
+
+        from ao_tpu.models import build_model
+
+        coord, feat, mask = make_batch(rng, B=1, N=256)
+        backbone = dict(
+            in_channels=6, num_classes=5, base_channels=8,
+            channels=(8, 16, 24, 32, 32, 24, 16, 16), layers=(1,) * 8,
+            stage_cap_ratios=(0.9,) * 4, **kw,
+        )
+        backbone["type"] = "MinkUNet18" if mink else "SpUNet-v1m1"
+        model = build_model(dict(type="DefaultSegmentor", backbone=backbone))
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
+        return model, variables
+
+    def test_down_convs_keep_channels(self, rng):
+        mink_model, mink_v = self._init(rng, mink=True)
+        sp_model, sp_v = self._init(rng, mink=False)
+        mk = mink_v["params"]["backbone"]
+        sk = sp_v["params"]["backbone"]
+        # Mink: down1 maps block1's output width (8) onto itself; SpUNet
+        # maps 8 -> channels[1]=16 at the down conv.
+        assert mk["down1"]["kernel"].shape[1:] == (8, 8)
+        assert sk["down1"]["kernel"].shape[1:] == (8, 16)
+        assert mk["down3"]["kernel"].shape[1:] == (24, 24)
+        assert sk["down3"]["kernel"].shape[1:] == (24, 32)
+
+    def test_stem_has_5x5x5_receptive_field(self, rng):
+        """Perturbing a voxel at Chebyshev distance 2 from a query (inside
+        5^3, outside 3^3) must change the query's stem response."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ao_tpu.models import build_model
+
+        # two isolated voxels at Chebyshev distance 2 on the grid
+        coord = np.zeros((1, 32, 3), np.float32)
+        coord[0, :, 0] = np.arange(32) * 10.0  # spread out (no neighbours)
+        coord[0, 1] = (2.0, 0.0, 0.0)  # distance-2 partner of point 0
+        feat = np.random.RandomState(0).rand(1, 32, 6).astype(np.float32)
+        mask = np.ones((1, 32), bool)
+        model = build_model(dict(
+            type="DefaultSegmentor",
+            backbone=dict(
+                type="MinkUNet18", in_channels=6, num_classes=5,
+                base_channels=8, channels=(8,) * 8, layers=(1,) * 8,
+                stage_cap_ratios=(0.9,) * 4,
+            ),
+        ))
+        coord, feat, mask = map(jnp.asarray, (coord, feat, mask))
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        )
+        fwd = jax.jit(lambda v, c, f, m: model.apply(v, c, f, m, True, True))
+        base = fwd(variables, coord, feat, mask)
+        feat2 = feat.at[0, 1].add(1.0)
+        pert = fwd(variables, coord, feat2, mask)
+        # the distance-2 neighbour reaches point 0 through the 5^3 stem
+        assert float(jnp.abs(pert[0, 0] - base[0, 0]).max()) > 1e-6
+
+
 def test_octformer_rpe_table_present_and_used(rng):
     """The reference OctFormer adds a quantised relative-position bias to
     each attention (octformer_v1m1_base.py:151-182); the table must exist
