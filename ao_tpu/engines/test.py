@@ -96,6 +96,35 @@ class TesterBase:
             return self._fwd_cache[key](*args, category=category)
         return self._fwd_cache[key](*args)
 
+    def vote_fragments(self, frags, n, num_classes, pad_multiple, fb=8):
+        """Softmax-vote TTA fragments into a full-scene (n, K) accumulator.
+
+        Fragments are batched ``fb`` at a time into one fixed-shape
+        forward — a scene's complementary voxel fragments are
+        near-identical in size, so they share a pad bucket and the
+        per-fragment dispatch / host-sync cost amortises (the reference
+        streams fragments through a batched loader, test.py:94-123).
+        """
+        pred = np.zeros((n, num_classes), np.float32)
+        for i0 in range(0, len(frags), fb):
+            group = frags[i0 : i0 + fb]
+            indices = [f["index"] for f in group]
+            batch = collate_fn(
+                [{k: v for k, v in f.items() if k != "index"} for f in group],
+                pad_multiple=pad_multiple,
+            )
+            logits = self.forward(
+                jnp.asarray(batch["coord"]),
+                jnp.asarray(batch["feat"]),
+                jnp.asarray(batch["mask"]),
+            )
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            for b, index in enumerate(indices):
+                # valid rows are the first len(index) of each batch row
+                # (collate pads at the tail)
+                pred[index] += probs[b, : len(index)]
+        return pred
+
 
 @TEST.register_module()
 class SemSegTester(TesterBase):
@@ -126,20 +155,10 @@ class SemSegTester(TesterBase):
             if os.path.isfile(pred_save):
                 pred = np.load(pred_save)
             else:
-                n = segment.shape[0]
-                pred = np.zeros((n, K), np.float32)
-                for frag in data_dict["fragment_list"]:
-                    index = frag["index"]
-                    batch = collate_fn([frag], pad_multiple=pad_multiple)
-                    logits = self.forward(
-                        jnp.asarray(batch["coord"]),
-                        jnp.asarray(batch["feat"]),
-                        jnp.asarray(batch["mask"]),
-                    )
-                    # valid rows are the first len(index) (collate pads at
-                    # the tail); vote their softmax into the full scene
-                    probs = jax.nn.softmax(logits[0], axis=-1)
-                    pred[index] += np.asarray(probs)[: len(index)]
+                pred = self.vote_fragments(
+                    data_dict["fragment_list"], segment.shape[0], K,
+                    pad_multiple, int(cfg.get("test_fragments_per_batch", 8)),
+                )
                 np.save(pred_save, pred)
             seg_pred = pred.argmax(-1)
             inter, union, target = intersection_and_union(
@@ -342,12 +361,10 @@ class PartSegTester(TesterBase):
             if self.verbose and idx % 50 == 0:
                 logger.info(f"Test: [{idx + 1}/{len(dataset)}]")
 
-        ins_miou = (
-            iou_category.sum() / max(iou_count.sum(), 1)
-        )
-        cat_miou = np.mean(
-            iou_category[iou_count > 0] / iou_count[iou_count > 0]
-        )
+        # Reference averages over ALL categories, counting ones absent
+        # from the split as 0 (test.py:392-393)
+        ins_miou = iou_category.sum() / (iou_count.sum() + 1e-10)
+        cat_miou = np.mean(iou_category / (iou_count + 1e-10))
         logger.info(
             f"Test result: ins.mIoU/cat.mIoU {ins_miou:.4f}/{cat_miou:.4f}"
         )

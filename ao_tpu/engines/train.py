@@ -262,6 +262,14 @@ class Trainer(TrainerBase):
 
     # ---- sharding helpers ----
     def put_batch(self, batch: dict) -> dict:
+        if batch.get("_device"):
+            return {
+                k: v for k, v in batch.items()
+                if k not in ("extras", "_device", "_host")
+            }
+        return self._put_batch_impl(batch)
+
+    def _put_batch_impl(self, batch: dict) -> dict:
         """Shard the (process-local) batch over the data mesh axis; drop
         host-only extras.
 
@@ -407,9 +415,51 @@ class Trainer(TrainerBase):
         return eval_step
 
     # ---- loop ----
+    def _device_prefetch(self, it, depth: int = 2):
+        """Move ``put_batch`` (pad + device_put) off the step's critical
+        path: a producer thread keeps ``depth`` batches already enqueued
+        to the device while the current step runs, so the loop's data
+        wait collapses to a queue get (the reference hides H2D behind
+        ``.cuda(non_blocking)``, train.py:175-177)."""
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+
+        def produce():
+            try:
+                for batch in it:
+                    extras = batch.get("extras")
+                    host = {
+                        k: batch[k]
+                        for k in ("instance", "mask")
+                        if k in batch
+                    }
+                    dev = self.put_batch(batch)
+                    dev["_device"] = True
+                    dev["_host"] = host
+                    if extras is not None:
+                        dev["extras"] = extras
+                    q.put(dev)
+                q.put(None)
+            except BaseException as e:  # surface to the consumer
+                q.put(e)
+
+        t = _threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def run_epoch(self):
         self.train_loader.sampler.set_epoch(self.epoch)
-        for i, batch in enumerate(self.train_loader):
+        for i, batch in enumerate(
+            self._device_prefetch(iter(self.train_loader))
+        ):
             self.comm_info["iter"] = i
             self.before_step()
             self.run_step(batch)

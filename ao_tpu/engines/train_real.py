@@ -197,6 +197,8 @@ class RealTrainer(Trainer):
         )
         self.conf_thresh = real_cfg.get("conf_thresh", default_thresh)
         self.radius_scale = real_cfg.get("radius_scale", 0.33)
+        # frames decoded per batched SAM call during refinement
+        self.sam_frame_batch = int(real_cfg.get("sam_frame_batch", 4))
         self.eval_areas = tuple(real_cfg.get("eval_areas", ("Area_1",)))
 
         self._predictor = None
@@ -254,8 +256,9 @@ class RealTrainer(Trainer):
 
     def run_step(self, batch):
         extras = batch.get("extras", {})
-        host_instance = batch.get("instance")
-        host_mask = batch.get("mask")
+        host = batch.get("_host", {})
+        host_instance = host.get("instance", batch.get("instance"))
+        host_mask = host.get("mask", batch.get("mask"))
         dev_batch = self.put_batch(batch)
         self.state, metrics, logits = self._train_step(
             self.state, dev_batch, self.rng_key
@@ -362,6 +365,8 @@ class RealTrainer(Trainer):
             bridge_paths = sorted(
                 glob.glob(os.path.join(self.bridge_root, area, room, "*.npy"))
             )
+            # Stage 1: collect every frame's visible prompts (host-only).
+            tasks = []  # (emb_path, bridge, pts (k, 2), cls (k,))
             for bridge_path in bridge_paths:
                 frame = os.path.splitext(os.path.basename(bridge_path))[0]
                 emb_path = None
@@ -377,19 +382,34 @@ class RealTrainer(Trainer):
                 prompt_visible = visible[prompt_idx]
                 if prompt_visible.sum() == 0:
                     continue
-                updated = True
-                emb = self._load_embedding(emb_path)
-                self.predictor.set_features(emb, self.frame_size)
                 pts = bridge[prompt_idx[prompt_visible], :2].astype(np.float32)
-                cls = prompt_cls[prompt_visible]
-                masks, _, _ = self.predictor.predict(
-                    pts[:, None, :], np.ones((len(pts), 1), np.int32),
-                    multimask_output=True,
+                tasks.append((emb_path, bridge, pts, prompt_cls[prompt_visible]))
+
+            # Stage 2: SAM decodes batched ACROSS frames (SURVEY hard-part
+            # #5; the reference runs set_features + predict per frame,
+            # train_sam_real.py:402-450). Prompt counts pad to power-of-2
+            # buckets so the decoder jit-caches a few shapes.
+            FG = self.sam_frame_batch
+            for i0 in range(0, len(tasks), FG):
+                group = tasks[i0 : i0 + FG]
+                updated = True
+                pmax = max(len(t[2]) for t in group)
+                pmax = max(8, 1 << (pmax - 1).bit_length())
+                F = len(group)
+                embs = np.stack([self._frame_embedding(t[0]) for t in group])
+                pts = np.zeros((F, pmax, 1, 2), np.float32)
+                lbl = -np.ones((F, pmax, 1), np.int32)  # -1 = padding prompt
+                for f, (_, _, p, _) in enumerate(group):
+                    pts[f, : len(p), 0] = p
+                    lbl[f, : len(p)] = 1
+                masks, _ = self.predictor.predict_batch(
+                    embs, pts, lbl, self.frame_size, mask_index=0
                 )
-                vote_masks_for_frame(
-                    masks[:, 0], cls, bridge, seg_pred, confidence, vote,
-                    self.conf_thresh,
-                )
+                for f, (_, bridge, p, cls) in enumerate(group):
+                    vote_masks_for_frame(
+                        masks[f, : len(p), 0], cls, bridge, seg_pred,
+                        confidence, vote, self.conf_thresh,
+                    )
 
             if updated:
                 sam_result = np.argmax(vote, axis=1)
@@ -431,3 +451,9 @@ class RealTrainer(Trainer):
         import torch
 
         return torch.load(path, map_location="cpu", weights_only=False).numpy()
+
+    @classmethod
+    def _frame_embedding(cls, path: str):
+        """One frame's embedding without the cached leading batch dim."""
+        emb = np.asarray(cls._load_embedding(path))
+        return np.squeeze(emb, axis=0) if emb.ndim == 4 else emb

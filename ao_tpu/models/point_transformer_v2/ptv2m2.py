@@ -44,7 +44,9 @@ from ao_tpu.ops import (
     knn_self_spatial,
     unpool_map,
 )
+from ao_tpu.ops.knn_spatial import knn_self_presorted, morton_code
 from ao_tpu.ops.pallas import gva_fused as _gvaf
+from ao_tpu.ops.pallas import gva_slab as _gvas
 
 # Below this point count the curve window covers (nearly) the whole cloud,
 # so a single probe is exact; above it, multi-probe approximate search.
@@ -59,6 +61,29 @@ def _self_knn(coord, mask, k):
             coord, mask, k=k, probes=1, exact_dist=False
         )
     return knn_self_spatial(coord, mask, k=k, exact_dist=False)
+
+
+def _slab_geometry(C, N, S):
+    """Slab-resident GVA tiling for a stage, or None to use the gathered
+    path. (TQ, J) set the kernel slab (W = (J-1)//2 * TQ rows each side);
+    (tile_q, window, front) place the window-restricted kNN's search
+    windows exactly inside every covered kernel tile's slab:
+    window = 2W + 2*TQ - tile_q, front = W - tile_q + TQ."""
+    import os
+
+    if os.environ.get("AO_GVA_SLAB", "1") == "0":
+        return None
+    if jax.default_backend() != "tpu" or C > 96 or N < 4096:
+        return None
+    # TQ*S rows of lane-padded f32 intermediates live on the kernel's VMEM
+    # stack — S=16 stages need the smaller tile (TQ=128 @ S=16 OOMs the
+    # 16M scoped vmem); W stays 512 rows either way.
+    TQ, J = (128, 9) if S <= 8 else (64, 17)
+    W = (J - 1) // 2 * TQ
+    tile_q = 128
+    window = 2 * W + 2 * TQ - tile_q
+    front = W - tile_q + TQ
+    return dict(TQ=TQ, J=J, W=W, tile_q=tile_q, window=window, front=front)
 
 
 class PEMLP(nn.Module):
@@ -122,10 +147,14 @@ class GroupedVectorAttention(nn.Module):
     @nn.compact
     def __call__(self, feat, coord, pos, idx, idx_valid, mask,
                  deterministic: bool = True, use_running_average: bool = False,
-                 pos_moments=None):
+                 pos_moments=None, slab=None):
         """Returns (out, pos_moments): the position moments depend only on
         (coord, idx) — callers cache them per stage and pass them back so
-        the Pallas pos pass runs once per resolution, not per block."""
+        the Pallas pos pass runs once per resolution, not per block.
+
+        ``slab`` (from _slab_geometry) switches to the slab-resident
+        kernels: inputs must be Morton-sorted with ``idx`` produced by the
+        window-restricted kNN so every edge is in-slab."""
         C, G = self.embed_channels, self.groups
         ura = use_running_average
         q = nn.relu(
@@ -178,6 +207,13 @@ class GroupedVectorAttention(nn.Module):
         S = idx.shape[-1]
         bf = jnp.bfloat16
         coord6 = _gvaf.pack_coords(coord)
+
+        if fused and slab is not None:
+            return self._slab_attention(
+                q, k, v, coord6, idx, idx_valid, mask, ura, pos_moments,
+                slab, pe_mean, pe_var, we_mean, we_var,
+                (Wp1, bp1, gp, bp, Wp2, bp2), wparams,
+            )
         # merged gather: k | v | packed coords fetch in one row (gathers are
         # row-count-bound on TPU — extra lanes are free)
         src = jnp.concatenate(
@@ -233,6 +269,50 @@ class GroupedVectorAttention(nn.Module):
             out, (mu_w, var_w, n_w), (mu_p, var_p, n_p) = _gvaf.gva_reference(
                 kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
                 pos_moments, S, C, G, dtype=self.dtype or jnp.float32,
+            )
+            self._update_bn(pe_mean, pe_var, mu_p, var_p, n_p)
+            self._update_bn(we_mean, we_var, mu_w, var_w, n_w)
+        return out[:, :N], pos_moments
+
+    def _slab_attention(self, q, k, v, coord6, idx, idx_valid, mask, ura,
+                        pos_moments, slab, pe_mean, pe_var, we_mean, we_var,
+                        pe_params, wparams):
+        """Slab-resident kernels: no HBM neighbour gather — inputs are
+        Morton-sorted, edges in-slab by construction (gva_slab.py)."""
+        C, G = self.embed_channels, self.groups
+        B, N = mask.shape
+        S = idx.shape[-1]
+        bf = jnp.bfloat16
+        TQ, J, W = slab["TQ"], slab["J"], slab["W"]
+        Wp1, bp1, gp, bp, Wp2, bp2 = pe_params
+
+        src = jnp.concatenate([k.astype(bf), v.astype(bf), coord6], axis=-1)
+        kv_pad = _gvas.pad_for_slab(src, N, TQ, J)
+        Np = -(-N // TQ) * TQ
+        qrow = jnp.concatenate(
+            [q.astype(bf), coord6, mask[..., None].astype(bf)], axis=-1
+        )
+        validb = idx_valid.astype(bf)
+        idxp = (idx + W).astype(jnp.int32)
+        if Np != N:
+            qrow = jnp.pad(qrow, ((0, 0), (0, Np - N), (0, 0)))
+            validb = jnp.pad(validb, ((0, 0), (0, Np - N), (0, 0)))
+            idxp = jnp.pad(idxp, ((0, 0), (0, Np - N), (0, 0)))
+
+        if pos_moments is None and not ura:
+            pos_moments = _gvas.compute_pos_moments_slab(
+                kv_pad, idxp, qrow, validb, S, C, G, TQ, J
+            )
+        if ura:
+            out = _gvas.gva_slab_core_eval(
+                kv_pad, idxp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2,
+                wparams, (pe_mean.value, pe_var.value),
+                (we_mean.value, we_var.value), Np, S, C, G, TQ, J,
+            )
+        else:
+            out, (mu_w, var_w, n_w), (mu_p, var_p, n_p) = _gvas.gva_slab_core(
+                kv_pad, idxp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2,
+                wparams, pos_moments, Np, S, C, G, TQ, J,
             )
             self._update_bn(pe_mean, pe_var, mu_p, var_p, n_p)
             self._update_bn(we_mean, we_var, mu_w, var_w, n_w)
@@ -309,7 +389,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, feat, coord, pos, idx, idx_valid, mask,
                  deterministic: bool = True, use_running_average: bool = False,
-                 pos_moments=None):
+                 pos_moments=None, slab=None):
         C = self.embed_channels
         ura = use_running_average
         identity = feat
@@ -328,7 +408,7 @@ class Block(nn.Module):
             grouped_linear=self.grouped_linear,
             dtype=self.dtype,
         )(h, coord, pos, idx, idx_valid, mask, deterministic, ura,
-          pos_moments)
+          pos_moments, slab)
         h = nn.relu(PointBatchNorm(C)(h, mask, ura))
         h = PointBatchNorm(C)(
             nn.Dense(C, use_bias=False, dtype=self.dtype)(h), mask, ura
@@ -359,20 +439,50 @@ class BlockSequence(nn.Module):
         # caller has it (encoder/decoder stages share resolutions). The
         # relative neighbour positions ride the cache too — the (B,N,S,3)
         # gather is row-bound (~8ms at 40k points) and identical for every
-        # block at a resolution.
-        if knn_cache is not None:
-            idx, idx_valid, pos = knn_cache[:3]
-            pos_moments = knn_cache[3] if len(knn_cache) > 3 else None
-        else:
-            idx, _, idx_valid = _self_knn(coord, mask, self.neighbours)
-            pos = None
-            pos_moments = None
+        # block at a resolution. In slab mode the cache additionally holds
+        # the Morton sort (points stay curve-sorted through the whole
+        # stage; gva_slab.py kernels gather in-VMEM from contiguous slabs).
         legacy = not (self.pe_bias and not self.pe_multiplier
                       and not self.grouped_linear)
+        N = coord.shape[1]
+        slab = (
+            None if legacy
+            else _slab_geometry(self.embed_channels, N, self.neighbours)
+        )
+        if knn_cache is not None and knn_cache.get("slab") == slab:
+            cache = dict(knn_cache)
+        else:
+            cache = dict(slab=slab, pos=None, pos_moments=None)
+            if slab is not None:
+                code = morton_code(coord, mask)
+                order = jnp.argsort(code, axis=1)
+                cache["order"] = order
+                cache["inv"] = jnp.argsort(order, axis=1)
+                cache["coord"] = jnp.take_along_axis(
+                    coord, order[..., None], axis=1
+                )
+                cache["mask"] = jnp.take_along_axis(mask, order, axis=1)
+                idx, _, idx_valid = knn_self_presorted(
+                    cache["coord"], cache["mask"], k=self.neighbours,
+                    tile_q=slab["tile_q"], window=slab["window"],
+                    front=slab["front"],
+                )
+            else:
+                cache["order"] = cache["inv"] = None
+                cache["coord"], cache["mask"] = coord, mask
+                idx, _, idx_valid = _self_knn(coord, mask, self.neighbours)
+            cache["idx"], cache["idx_valid"] = idx, idx_valid
+        coord_u, mask_u = cache["coord"], cache["mask"]
+        idx, idx_valid = cache["idx"], cache["idx_valid"]
+        pos, pos_moments = cache["pos"], cache["pos_moments"]
         if pos is None and legacy:
             # only the pe-multiplier / v2m1 legacy path consumes pos; the
             # v2m2 path reconstructs rel-coords from packed absolutes
-            pos = grouping_with_rel_coord(coord, coord, idx, idx_valid)
+            pos = cache["pos"] = grouping_with_rel_coord(
+                coord_u, coord_u, idx, idx_valid
+            )
+        if cache["order"] is not None:
+            feat = jnp.take_along_axis(feat, cache["order"][..., None], axis=1)
         rates = list(self.drop_path_rates) or [0.0] * self.depth
         # enable_checkpoint is the reference's per-block activation
         # rematerialisation flag; here it maps to jax.checkpoint via nn.remat.
@@ -392,9 +502,12 @@ class BlockSequence(nn.Module):
                 drop_path_rate=rates[i],
                 grouped_linear=self.grouped_linear,
                 dtype=self.dtype,
-            )(feat, coord, pos, idx, idx_valid, mask,
-               deterministic, use_running_average, pos_moments)
-        return feat, (idx, idx_valid, pos, pos_moments)
+            )(feat, coord_u, pos, idx, idx_valid, mask_u,
+               deterministic, use_running_average, pos_moments, slab)
+        if cache["order"] is not None:
+            feat = jnp.take_along_axis(feat, cache["inv"][..., None], axis=1)
+        cache["pos_moments"] = pos_moments
+        return feat, cache
 
 
 class GridPoolLayer(nn.Module):
@@ -580,7 +693,8 @@ class PointTransformerV2(nn.Module):
                 name=f"dec{i}_up",
             )(h, coord, mask, skip_feat, skip_coord, skip_mask, cluster, ura)
             coord, mask = skip_coord, skip_mask
-            if skip_knn is not None and skip_knn[0].shape[-1] != self.dec_neighbours[i]:
+            if (skip_knn is not None
+                    and skip_knn["idx"].shape[-1] != self.dec_neighbours[i]):
                 skip_knn = None  # neighbour count differs; recompute
             h, _ = BlockSequence(
                 depth=self.dec_depths[i],

@@ -113,6 +113,53 @@ class SamPredictor:
             masks = masks > 0.0
         return np.asarray(masks), np.asarray(iou[0]), np.asarray(low_res[0])
 
+    def predict_batch(
+        self,
+        features,  # (F, h, w, C) image embeddings for F frames
+        point_coords,  # (F, P, n, 2) original-resolution (x, y)
+        point_labels,  # (F, P, n)
+        orig_size: Tuple[int, int],
+        mask_index: Optional[int] = None,
+    ):
+        """Decode prompts for F frames in ONE decoder call.
+
+        The mask decoder is batched over its leading axis (modeling.py
+        predict_masks: image_embeddings (B, h, w, C) x points
+        (B, P, n, 2)), so frames batch for free — the REAL refinement
+        loop uses this to amortise dispatch over frames instead of
+        calling set_features + predict per frame (SURVEY hard-part #5;
+        reference loops frame-by-frame, train_sam_real.py:402-450).
+
+        Returns (masks (F, P, m, H, W) bool, iou (F, P, m)).
+        """
+        features = jnp.asarray(features)
+        if features.shape[1] == self.config.vision.output_channels:
+            features = jnp.transpose(features, (0, 2, 3, 1))
+        self._orig_size = orig_size
+        S = self.config.vision.image_size
+        scale = S / max(orig_size)
+        self._input_size = (
+            int(round(orig_size[0] * scale)),
+            int(round(orig_size[1] * scale)),
+        )
+        pts = self._transform_points(np.asarray(point_coords, np.float32))
+        low_res, iou = self._predict_fn(
+            self.params,
+            features,
+            jnp.asarray(pts),
+            jnp.asarray(np.asarray(point_labels, np.int32)),
+        )
+        if mask_index is not None:
+            # only the selected multimask channel is upsampled — the
+            # full-resolution (F*P, 3, H, W) f32 resize would dominate
+            # the decode batch's memory at REAL prompt counts
+            low_res = low_res[:, :, mask_index : mask_index + 1]
+        # postprocess frame-by-frame to bound the resize working set
+        masks = np.stack(
+            [np.asarray(self._postprocess(lr) > 0.0) for lr in low_res]
+        )
+        return masks, np.asarray(iou)
+
     def _postprocess(self, low_res_masks):
         """(P, m, s4, s4) logits -> original-resolution (P, m, H, W)."""
         S = self.config.vision.image_size

@@ -360,9 +360,9 @@ class PP2SPipeline:
                 np.save(out, labels.reshape(-1, 1))
                 self.logger.info(f"sam labels done: {area}/{room}")
 
-    def run_all(self):
+    def run_all(self, frame_size=(1080, 1080)):
         self.run_embeddings()
         self.run_bridges()
         self.run_weak_labels()
         self.run_basket()
-        self.run_sam_labels()
+        self.run_sam_labels(frame_size=frame_size)

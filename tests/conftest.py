@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the tier is dominated by XLA CPU compiles of
+# the backbone smoke models; repeat runs (the common case) hit the cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("AO_TEST_CACHE", "/root/.cache/jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np
 import pytest

@@ -203,3 +203,37 @@ class TestPartSegTesterTTA:
         res = tester()
         assert 0.0 <= res["ins_mIoU"] <= 1.0
         assert 0.0 <= res["cat_mIoU"] <= 1.0
+
+
+def test_semseg_tester_batched_fragment_voting_matches_serial():
+    """vote_fragments with fb>1 must produce exactly the same accumulator
+    as fragment-at-a-time voting (fb=1) — batching is a pure perf change."""
+    import jax
+    import numpy as np
+
+    from ao_tpu.engines.test import SemSegTester
+
+    rng = np.random.RandomState(0)
+    n, K = 300, 5
+    frags = []
+    for i in range(5):
+        m = int(rng.randint(40, 80))
+        idx = rng.choice(n, m, replace=False)
+        frags.append(dict(
+            index=idx,
+            coord=rng.rand(m, 3).astype(np.float32),
+            feat=rng.rand(m, 6).astype(np.float32),
+        ))
+
+    tester = SemSegTester.__new__(SemSegTester)
+
+    def fake_forward(coord, feat, mask, category=None):
+        # deterministic per-point pseudo-logits from the features
+        w = np.arange(1, 6 * K + 1, dtype=np.float32).reshape(6, K) / 10.0
+        return jax.numpy.asarray(np.asarray(feat) @ w)
+
+    tester.forward = fake_forward
+    serial = tester.vote_fragments(frags, n, K, pad_multiple=32, fb=1)
+    batched = tester.vote_fragments(frags, n, K, pad_multiple=32, fb=3)
+    np.testing.assert_allclose(serial, batched, rtol=0, atol=1e-6)
+    assert np.abs(serial).sum() > 0

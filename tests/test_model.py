@@ -977,8 +977,9 @@ class TestMinkBottleneck:
                 layers=(1,) * 8, stage_cap_ratios=(0.9,) * 4,
             ),
         ))
-        variables = jax.jit(model.init)(
-            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        # structure-only check: abstract init, no XLA compile
+        variables = jax.eval_shape(
+            model.init, {"params": jax.random.PRNGKey(0)}, coord, feat, mask
         )
         flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
         names = {"/".join(str(k) for k in path) for path, _ in flat}
@@ -1005,8 +1006,9 @@ class TestMinkSkeleton:
         )
         backbone["type"] = "MinkUNet18" if mink else "SpUNet-v1m1"
         model = build_model(dict(type="DefaultSegmentor", backbone=backbone))
-        variables = jax.jit(model.init)(
-            {"params": jax.random.PRNGKey(0)}, coord, feat, mask
+        # shape-only consumers: abstract init, no XLA compile
+        variables = jax.eval_shape(
+            model.init, {"params": jax.random.PRNGKey(0)}, coord, feat, mask
         )
         return model, variables
 

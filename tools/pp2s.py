@@ -22,6 +22,11 @@ def main():
                  "basket", "sam_labels", "all"],
     )
     p.add_argument("--areas", nargs="+", default=None)
+    p.add_argument(
+        "--frame-size", type=int, default=1080,
+        help="frame pixel size for SAM prompt mapping (512 for the "
+        "render_frames variant's synthetic views)",
+    )
     args = p.parse_args()
     pipe = PP2SPipeline(
         data_root=args.data_root,
@@ -30,8 +35,11 @@ def main():
         areas=tuple(args.areas) if args.areas else
         ("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
     )
+    fs = (args.frame_size, args.frame_size)
     if args.stage == "all":
-        pipe.run_all()
+        pipe.run_all(frame_size=fs)
+    elif args.stage == "sam_labels":
+        pipe.run_sam_labels(frame_size=fs)
     else:
         getattr(pipe, f"run_{args.stage}")()
 
