@@ -35,6 +35,10 @@ def main():
     geom = _slab_geometry(C, N, S)
     print(name, geom, flush=True)
     TQ, J, W = geom["TQ"], geom["J"], geom["W"]
+    if len(sys.argv) > 3:  # override: _slab_stage.py dec0 TQ J
+        TQ, J = int(sys.argv[2]), int(sys.argv[3])
+        W = (J - 1) // 2 * TQ
+        print(f"override TQ={TQ} J={J} W={W}", flush=True)
     rng = np.random.default_rng(0)
     rw = 2 * C + 6
     Np = -(-N // TQ) * TQ

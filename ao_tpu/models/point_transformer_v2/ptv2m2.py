@@ -73,14 +73,22 @@ def _slab_geometry(C, N, S):
 
     if os.environ.get("AO_GVA_SLAB", "1") == "0":
         return None
-    if jax.default_backend() != "tpu" or C > 96 or N < 4096:
+    if jax.default_backend() != "tpu" or C > 384 or N < 2048:
         return None
-    # TQ*S rows of lane-padded f32 intermediates live on the kernel's VMEM
-    # stack — S=16 stages need the smaller tile (TQ=128 @ S=16 OOMs the
-    # 16M scoped vmem); W stays 512 rows either way.
-    TQ, J = (128, 9) if S <= 8 else (64, 17)
+    # TQ*S rows of C-lane f32 intermediates live on the kernel's VMEM
+    # stack (ao_tpu/__init__.py raises the scoped limit to 24M); TQ
+    # shrinks with C to fit, J (input streams) sized for W=512 curve rows
+    # each side — except C=384 where W=256 keeps the stream count at 17.
+    if C <= 96:
+        TQ, J = 128, 9
+    elif C <= 192:
+        TQ, J = 64, 17
+    else:
+        TQ, J = 32, 17
     W = (J - 1) // 2 * TQ
-    tile_q = 128
+    # kNN windows sit inside every covering kernel slab; tile_q chosen so
+    # window is a 128-multiple (Pallas kNN path needs lane alignment)
+    tile_q = 128 if TQ >= 64 else 64
     window = 2 * W + 2 * TQ - tile_q
     front = W - tile_q + TQ
     return dict(TQ=TQ, J=J, W=W, tile_q=tile_q, window=window, front=front)

@@ -55,7 +55,21 @@ class SamPredictor:
         img = jnp.pad(img, ((0, S - nh), (0, S - nw), (0, 0)))
         return img[None], (h, w), (nh, nw)
 
+    def _ensure_params(self):
+        """No-checkpoint mode (this environment ships no SAM weights —
+        the reference's SAM_ckpt/sam is a placeholder): deterministic
+        random init so offline embeddings and in-loop decodes agree."""
+        if self.params is None:
+            S = self.config.vision.image_size
+            self.params = self.model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, S, S, 3)), jnp.zeros((1, 1, 1, 2)),
+                jnp.zeros((1, 1, 1), jnp.int32), True,
+            )
+        return self.params
+
     def set_image(self, image: np.ndarray):
+        self._ensure_params()
         x, self._orig_size, self._input_size = self._preprocess(image)
         self._features = self._embed_fn(self.params, x)
         return self._features
@@ -98,6 +112,7 @@ class SamPredictor:
     ):
         """Returns (masks (P, m, H, W), iou (P, m), low_res (P, m, s4, s4))."""
         assert self._features is not None, "call set_image/set_features first"
+        self._ensure_params()
         point_coords = np.asarray(point_coords, np.float32)
         point_labels = np.asarray(point_labels, np.int32)
         if point_coords.ndim == 2:
@@ -132,6 +147,7 @@ class SamPredictor:
 
         Returns (masks (F, P, m, H, W) bool, iou (F, P, m)).
         """
+        self._ensure_params()
         features = jnp.asarray(features)
         if features.shape[1] == self.config.vision.output_channels:
             features = jnp.transpose(features, (0, 2, 3, 1))

@@ -7,13 +7,14 @@ _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 
 save_path = "exp/s3dis/proxy-r3-pp2s"
 
-epoch = 100
-eval_epoch = 10
+epoch = 30
+eval_epoch = 6
 
 data = dict(
     train=dict(
         weak=True,
         mode="pp2s",
-        weak_path="data/s3dis_proxy/sam_labels",
+        weak_path="data/ao_proxy/sam_labels",
+        loop=3,
     ),
 )

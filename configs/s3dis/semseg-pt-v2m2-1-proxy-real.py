@@ -7,9 +7,9 @@ _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 weight = "exp/s3dis/proxy-r3-pp2s/model/model_best.ckpt"
 save_path = "exp/s3dis/proxy-r3-real"
 
-# refinement runs after every epoch -> >=4 sam_label/* curve points
-epoch = 60
-eval_epoch = 4
+# refinement runs after every epoch -> 8 sam_label/* curve points
+epoch = 8
+eval_epoch = 2
 
 real = dict(
     initial_labels="data/ao_proxy/sam_labels",
@@ -27,5 +27,5 @@ real = dict(
 )
 
 data = dict(
-    train=dict(weak=True, mode="real"),
+    train=dict(weak=True, mode="real", loop=3),
 )

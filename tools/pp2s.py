@@ -7,6 +7,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("AO_PLATFORM"):
+    # the axon plugin force-sets jax_platforms at interpreter start; the
+    # env var alone does not stick — override through jax.config (lets
+    # the offline stages run on CPU while the chip trains)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["AO_PLATFORM"])
+
 from ao_tpu.pp2s import PP2SPipeline  # noqa: E402
 
 
