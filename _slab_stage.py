@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+import os
+jax.config.update("jax_compilation_cache_dir", os.environ.get("AO_COMPILE_CACHE", "/root/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 from ao_tpu.models.point_transformer_v2.ptv2m2 import _slab_geometry

@@ -1,0 +1,1 @@
+from .ptv1 import PointTransformerSeg, PointTransformerCls

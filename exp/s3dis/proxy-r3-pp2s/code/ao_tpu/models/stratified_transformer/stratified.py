@@ -1,0 +1,287 @@
+"""Stratified Transformer for point clouds.
+
+TPU-native re-implementation of the reference ST-v1m1/ST-v1m2
+(reference: pointcept/models/stratified_transformer/
+stratified_transformer_v1m1_origin.py — window attention via the
+pointops2 CUDA edge-list kernels attention_step1/2 + relative-position
+tables, KPConv embedding, grid-pool downsampling U-Net).
+
+Design mapping:
+* the CUDA edge-list sparse attention becomes dense masked attention over
+  capacity-bounded packed windows (ops/window_partition.py) — MXU batched
+  matmuls instead of scatter kernels;
+* the "stratified" key set (dense keys from the point's own window +
+  sparse keys sampled from a larger window) is realised by concatenating
+  each window's points with the grid-pooled (downsampled) points falling
+  in the same window at ``stratified_grid`` resolution;
+* shifted windows alternate per block like the reference;
+* contextual relative position encoding: quantised relative coordinates
+  index learned per-head bias tables (the rpe_v2 kernels' table lookups);
+* KPConv embedding: kernel-point correlation conv over kNN neighbourhoods.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ao_tpu.models.builder import MODELS
+from ao_tpu.models.utils import DropPath
+from ao_tpu.ops import grid_pool, grouping, grouping_with_rel_coord, knn_query
+from ao_tpu.ops.interpolation import interpolation
+from ao_tpu.ops.window_partition import pack_windows, window_ids
+
+
+def _kernel_points(num: int = 15) -> np.ndarray:
+    """Deterministic quasi-uniform kernel points on the unit ball (the
+    reference loads KPConv's optimised dispositions; a Fibonacci-sphere
+    layout with a centre point is the dependency-free analog)."""
+    pts = [np.zeros(3)]
+    n = num - 1
+    phi = (1 + 5**0.5) / 2
+    for i in range(n):
+        z = 1 - 2 * (i + 0.5) / n
+        r = np.sqrt(max(0.0, 1 - z * z))
+        theta = 2 * np.pi * i / phi
+        pts.append(np.array([r * np.cos(theta), r * np.sin(theta), z]) * 0.7)
+    return np.asarray(pts, np.float32)
+
+
+class KPConvEmbed(nn.Module):
+    """Kernel-point convolution over kNN neighbourhoods
+    (replaces torch_points3d KPConv in the reference embedding)."""
+
+    out_channels: int
+    num_kernel_points: int = 15
+    sigma: float = 0.1
+    neighbours: int = 16
+
+    @nn.compact
+    def __call__(self, coord, feat, mask):
+        kp = jnp.asarray(_kernel_points(self.num_kernel_points)) * self.sigma
+        idx, _, valid = knn_query(self.neighbours, coord, mask)
+        rel = grouping_with_rel_coord(coord, coord, idx, valid)  # (B,N,k,3)
+        nf = grouping(feat, idx, valid)  # (B, N, k, C)
+        # linear correlation: max(0, 1 - ||rel - kp|| / sigma)
+        d = jnp.linalg.norm(
+            rel[:, :, :, None, :] - kp[None, None, None, :, :], axis=-1
+        )  # (B, N, k, P)
+        corr = jnp.maximum(0.0, 1.0 - d / self.sigma)
+        corr = jnp.where(valid[..., None], corr, 0.0)
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_kernel_points, feat.shape[-1], self.out_channels),
+        )
+        out = jnp.einsum("bnkp,bnkc,pcd->bnd", corr, nf, w)
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+class WindowAttention(nn.Module):
+    channels: int
+    num_heads: int
+    quant_size: float
+    rpe_bins: int = 24
+    attn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, q_feat, q_xyz, q_valid, k_feat, k_xyz, k_valid,
+                 deterministic=True):
+        """Dense attention within packed windows.
+        q_*: (B, W, Cq, ...) packed queries; k_*: (B, W, Ck, ...) keys."""
+        C, H = self.channels, self.num_heads
+        hd = C // H
+        q = nn.Dense(C, name="q")(q_feat)
+        k = nn.Dense(C, name="k")(k_feat)
+        v = nn.Dense(C, name="v")(k_feat)
+        B, W, Cq, _ = q.shape
+        Ck = k.shape[2]
+        q = q.reshape(B, W, Cq, H, hd)
+        k = k.reshape(B, W, Ck, H, hd)
+        v = v.reshape(B, W, Ck, H, hd)
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k) * (hd**-0.5)
+
+        # contextual RPE: quantised relative coords index per-head tables
+        rel = q_xyz[:, :, :, None, :] - k_xyz[:, :, None, :, :]  # (B,W,Cq,Ck,3)
+        bins = self.rpe_bins
+        ridx = jnp.clip(
+            jnp.round(rel / self.quant_size).astype(jnp.int32) + bins // 2,
+            0, bins - 1,
+        )
+        table = self.param(
+            "rpe_table", nn.initializers.truncated_normal(0.02), (3, bins, H)
+        )
+        bias = (
+            jnp.take(table[0], ridx[..., 0], axis=0)
+            + jnp.take(table[1], ridx[..., 1], axis=0)
+            + jnp.take(table[2], ridx[..., 2], axis=0)
+        )  # (B, W, Cq, Ck, H)
+        attn = attn + bias.transpose(0, 1, 4, 2, 3)
+
+        neg = jnp.float32(-1e9)
+        attn = jnp.where(k_valid[:, :, None, None, :], attn, neg)
+        attn = jax.nn.softmax(attn, axis=-1)
+        if self.attn_drop > 0:
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(B, W, Cq, C)
+        out = nn.Dense(C, name="proj")(out)
+        return jnp.where(q_valid[..., None], out, 0.0)
+
+
+class STBlock(nn.Module):
+    channels: int
+    num_heads: int
+    window_size: float
+    quant_size: float
+    shift: bool = False
+    stratified_grid: float = 0.0  # 0 disables the coarse key branch
+    window_capacity: int = 64
+    coarse_capacity: int = 16
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, coord, feat, mask, num_windows, deterministic=True):
+        C = self.channels
+        shortcut = feat
+        h = nn.LayerNorm()(feat)
+
+        wid = window_ids(coord, mask, self.window_size, self.shift)
+        pidx, pvalid, win_of_point, slot_of_point = pack_windows(
+            wid, num_windows, self.window_capacity
+        )
+        B = h.shape[0]
+        W, Cap = pidx.shape[1], pidx.shape[2]
+        q_feat = grouping(
+            h, pidx.reshape(B, -1, 1), pvalid.reshape(B, -1, 1)
+        ).reshape(B, W, Cap, -1)
+        q_xyz = grouping(
+            coord, pidx.reshape(B, -1, 1), pvalid.reshape(B, -1, 1)
+        ).reshape(B, W, Cap, 3)
+
+        k_feat, k_xyz, k_valid = q_feat, q_xyz, pvalid
+        if self.stratified_grid > 0:
+            # stratified coarse keys: grid-pooled points in the same window
+            pc, pf, pm, _, _ = grid_pool(
+                coord, h, mask, self.stratified_grid,
+                max_clusters=max(coord.shape[1] // 4, 64),
+            )
+            cwid = window_ids(pc, pm, self.window_size, self.shift)
+            cidx, cvalid, _, _ = pack_windows(
+                cwid, num_windows, self.coarse_capacity
+            )
+            cf = grouping(
+                pf, cidx.reshape(B, -1, 1), cvalid.reshape(B, -1, 1)
+            ).reshape(B, W, self.coarse_capacity, -1)
+            cx = grouping(
+                pc, cidx.reshape(B, -1, 1), cvalid.reshape(B, -1, 1)
+            ).reshape(B, W, self.coarse_capacity, 3)
+            k_feat = jnp.concatenate([k_feat, cf], axis=2)
+            k_xyz = jnp.concatenate([k_xyz, cx], axis=2)
+            k_valid = jnp.concatenate([k_valid, cvalid], axis=2)
+
+        attn_out = WindowAttention(
+            C, self.num_heads, self.quant_size, name="attn"
+        )(q_feat, q_xyz, pvalid, k_feat, k_xyz, k_valid, deterministic)
+
+        # scatter window outputs back to point order; overflow points keep
+        # their residual (identity attention)
+        flat = attn_out.reshape(B, W * Cap, C)
+        gidx = jnp.clip(win_of_point * Cap + slot_of_point, 0, W * Cap - 1)
+        back = jnp.take_along_axis(flat, gidx[..., None], axis=1)
+        covered = (win_of_point >= 0)[..., None]
+        h = jnp.where(covered & mask[..., None], back, 0.0)
+
+        feat = shortcut + DropPath(self.drop_path)(h, deterministic)
+        y = nn.LayerNorm()(feat)
+        y = nn.Dense(int(C * self.mlp_ratio))(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(C)(y)
+        feat = feat + DropPath(self.drop_path)(y, deterministic)
+        return jnp.where(mask[..., None], feat, 0.0)
+
+
+@MODELS.register_module("ST-v1m2")
+class StratifiedTransformer(nn.Module):
+    in_channels: int
+    num_classes: int
+    channels: Tuple[int, ...] = (48, 96, 192, 384)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    window_sizes: Tuple[float, ...] = (0.4, 0.8, 1.6, 3.2)
+    quant_sizes: Tuple[float, ...] = (0.01, 0.02, 0.04, 0.08)
+    grid_sizes: Tuple[float, ...] = (0.1, 0.2, 0.4)
+    stratified: bool = True
+    window_capacity: int = 64
+    num_windows_ratio: float = 0.25
+    kp_embed_channels: int = 48
+    drop_path_rate: float = 0.3
+    stage_cap_ratios: Tuple[float, ...] = (0.35, 0.35, 0.35)
+
+    @nn.compact
+    def __call__(self, coord, feat, mask, deterministic: bool = True,
+                 use_running_average: bool = False):
+        num_stages = len(self.channels)
+        dp = np.linspace(0, self.drop_path_rate, sum(self.depths))
+
+        h = KPConvEmbed(self.channels[0], name="kp_embed")(coord, feat, mask)
+        h = nn.LayerNorm()(h)
+
+        skips = []
+        clusters = []
+        cap = coord.shape[1]
+        bi = 0
+        for s in range(num_stages):
+            if s > 0:
+                cap = max(int(cap * self.stage_cap_ratios[s - 1]), 64)
+                pc, pf, pm, cluster, _ = grid_pool(
+                    coord, nn.Dense(self.channels[s], name=f"down{s}")(h),
+                    mask, self.grid_sizes[s - 1], cap,
+                )
+                skips.append((coord, h, mask))
+                clusters.append(cluster)
+                coord, h, mask = pc, pf, pm
+            num_windows = max(int(coord.shape[1] * self.num_windows_ratio), 16)
+            for d in range(self.depths[s]):
+                h = STBlock(
+                    channels=self.channels[s],
+                    num_heads=self.num_heads[s],
+                    window_size=self.window_sizes[s],
+                    quant_size=self.quant_sizes[s],
+                    shift=(d % 2 == 1),
+                    stratified_grid=(
+                        self.window_sizes[s] / 4 if self.stratified else 0.0
+                    ),
+                    window_capacity=self.window_capacity,
+                    drop_path=float(dp[bi]),
+                    name=f"stage{s}_block{d}",
+                )(coord, h, mask, num_windows, deterministic)
+                bi += 1
+
+        # decoder: interpolation upsampling with skip fusion
+        for s in reversed(range(num_stages - 1)):
+            skip_coord, skip_feat, skip_mask = skips[s]
+            up = interpolation(coord, skip_coord, h, mask, skip_mask, k=3)
+            up = nn.Dense(self.channels[s], name=f"up{s}")(up)
+            h = up + nn.Dense(self.channels[s], name=f"up{s}_skip")(skip_feat)
+            coord, mask = skip_coord, skip_mask
+
+        if self.num_classes > 0:
+            g = nn.Dense(self.channels[0])(h)
+            g = nn.LayerNorm()(g)
+            g = nn.relu(g)
+            h = nn.Dense(self.num_classes)(g)
+        return jnp.where(mask[..., None], h, 0.0) if self.num_classes == 0 else h
+
+
+def _st_v1m1(**kwargs):
+    """ST-v1m1: same architecture, KPConv embedding + stratified keys on."""
+    kwargs.setdefault("stratified", True)
+    return StratifiedTransformer(**kwargs)
+
+
+MODELS.register_module(name="ST-v1m1", module=_st_v1m1)

@@ -1,0 +1,119 @@
+# ScanNet semantic segmentation, SpUNet-v1m1
+# (reference: configs/scannet/semseg-spunet-v1m1-0-base.py — same schedule
+# and pipeline; feat = color+normal, 6 channels)
+_base_ = ["../_base_/default_runtime.py"]
+
+batch_size = 12
+mix_prob = 0.8
+seed = 2023
+pad_multiple = 8192
+max_points = 102400
+save_path = "exp/scannet/semseg-pt-v2m2-0-base"
+
+model = dict(
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="SpUNet-v1m1",
+        in_channels=6,
+        num_classes=20,
+        channels=(32, 64, 128, 256, 256, 128, 96, 96),
+        layers=(2, 3, 4, 6, 2, 2, 2, 2),
+        stage_cap_ratios=(0.5, 0.5, 0.5, 0.5),
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+epoch = 800
+eval_epoch = 100
+optimizer = dict(
+    type="SGD", lr=0.05, momentum=0.9, weight_decay=0.0001, nesterov=True
+)
+scheduler = dict(
+    type="OneCycleLR", max_lr=0.05, pct_start=0.05, anneal_strategy="cos",
+    div_factor=10.0, final_div_factor=10000.0,
+)
+
+dataset_type = "ScanNetDataset"
+data_root = "data/scannet"
+
+names = [
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "desk", "curtain",
+    "refridgerator", "shower curtain", "toilet", "sink", "bathtub",
+    "otherfurniture",
+]
+
+_train_transform = [
+    dict(type="CenterShift", apply_z=True),
+    dict(type="RandomDropout", dropout_ratio=0.2, dropout_application_ratio=0.2),
+    dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+    dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+    dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+    dict(type="RandomScale", scale=[0.9, 1.1]),
+    dict(type="RandomFlip", p=0.5),
+    dict(type="RandomJitter", sigma=0.005, clip=0.02),
+    dict(type="ElasticDistortion", distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+    dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+    dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+    dict(type="ChromaticJitter", p=0.95, std=0.05),
+    dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train",
+         keys=("coord", "color", "normal", "segment"),
+         return_discrete_coord=True),
+    dict(type="SphereCrop", point_max=100000, mode="random"),
+    dict(type="CenterShift", apply_z=False),
+    dict(type="NormalizeColor"),
+    dict(type="ToTensor"),
+    dict(type="Collect", keys=("coord", "discrete_coord", "segment"),
+         feat_keys=("color", "normal")),
+]
+
+data = dict(
+    num_classes=20,
+    ignore_index=-1,
+    names=names,
+    train=dict(type=dataset_type, split="train", data_root=data_root,
+               transform=_train_transform, test_mode=False),
+    val=dict(
+        type=dataset_type, split="val", data_root=data_root,
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="Copy",
+                 keys_dict={"coord": "origin_coord", "segment": "origin_segment"}),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                 mode="train", keys=("coord", "color", "normal", "segment"),
+                 return_discrete_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "discrete_coord", "segment"),
+                 feat_keys=("color", "normal")),
+        ],
+        test_mode=False,
+    ),
+    test=dict(
+        type=dataset_type, split="val", data_root=data_root,
+        transform=[dict(type="CenterShift", apply_z=True),
+                   dict(type="NormalizeColor")],
+        test_mode=True,
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                          mode="test", keys=("coord", "color", "normal"),
+                          return_discrete_coord=True),
+            crop=None,
+            post_transform=[
+                dict(type="CenterShift", apply_z=False),
+                dict(type="ToTensor"),
+                dict(type="Collect", keys=("coord", "discrete_coord", "index"),
+                     feat_keys=("color", "normal")),
+            ],
+            aug_transform=[
+                [dict(type="RandomScale", scale=[s, s], anisotropic=True)]
+                for s in (0.9, 0.95, 1.0, 1.05, 1.1)
+            ] + [
+                [dict(type="RandomScale", scale=[s, s], anisotropic=True),
+                 dict(type="RandomFlip", p=1)]
+                for s in (0.9, 0.95, 1.0, 1.05, 1.1)
+            ],
+        ),
+    ),
+)

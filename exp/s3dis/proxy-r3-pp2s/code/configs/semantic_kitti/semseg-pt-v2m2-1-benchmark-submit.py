@@ -1,0 +1,9 @@
+# SemanticKITTI benchmark submission: train on train+val, predict test
+# (reference: configs/semantic_kitti/semseg-pt-v2m2-1-benchmark-submit.py)
+_base_ = ["semseg-pt-v2m2-0-base.py"]
+save_path = "exp/semantic_kitti/semseg-pt-v2m2-1-benchmark-submit"
+evaluate = False
+data = dict(
+    train=dict(split=["train", "val"]),
+    test=dict(split="test"),
+)

@@ -1,0 +1,7 @@
+from .modeling import SamConfig, SamModel
+from .convert import (
+    convert_hf_state_dict,
+    convert_original_checkpoint,
+    load_sam_checkpoint,
+)
+from .predictor import SamPredictor

@@ -1,0 +1,11 @@
+# ScanNet Swin3D-v1m1 large
+# (reference: configs/scannet/semseg-swin3d-v1m1-1-large.py — channels
+# 80..640, heads 10..40; everything else as small)
+_base_ = ["semseg-swin3d-v1m1-0-small.py"]
+save_path = "exp/scannet/semseg-swin3d-v1m1-1-large"
+model = dict(
+    backbone=dict(
+        channels=(80, 160, 320, 640, 640),
+        num_heads=(10, 10, 20, 40, 40),
+    ),
+)
