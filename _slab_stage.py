@@ -41,10 +41,14 @@ def main():
         W = (J - 1) // 2 * TQ
         print(f"override TQ={TQ} J={J} W={W}", flush=True)
     rng = np.random.default_rng(0)
-    rw = 2 * C + 6
+    lay = gs.lane_layout(C)
+    rw = lay["row_w"]
     Np = -(-N // TQ) * TQ
     src = jnp.asarray(rng.normal(size=(B, N, rw)).astype(np.float32) * 0.3,
                       jnp.bfloat16)
+    if lay["split"]:
+        # zero the pad lanes like the model's concat does
+        src = src.at[:, :, C + 6:lay["KW"]].set(0).at[:, :, lay["KW"] + C:].set(0)
     kv_pad = gs.pad_for_slab(src, N, TQ, J)
     idx = np.zeros((B, Np, S), np.int64)
     for i in range(Np):

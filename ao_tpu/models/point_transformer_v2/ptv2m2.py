@@ -294,7 +294,20 @@ class GroupedVectorAttention(nn.Module):
         TQ, J, W = slab["TQ"], slab["J"], slab["W"]
         Wp1, bp1, gp, bp, Wp2, bp2 = pe_params
 
-        src = jnp.concatenate([k.astype(bf), v.astype(bf), coord6], axis=-1)
+        lay = _gvas.lane_layout(C)
+        if lay["split"]:
+            # [k | pos6 | 0.. || v | 0..]: the stats/pos/bwd-stats passes
+            # gather only the first KW-lane block (gva_slab.lane_layout)
+            KW = lay["KW"]
+            zk = jnp.zeros(k.shape[:-1] + (KW - C - 6,), bf)
+            zv = jnp.zeros(k.shape[:-1] + (KW - C,), bf)
+            src = jnp.concatenate(
+                [k.astype(bf), coord6, zk, v.astype(bf), zv], axis=-1
+            )
+        else:
+            src = jnp.concatenate(
+                [k.astype(bf), v.astype(bf), coord6], axis=-1
+            )
         kv_pad = _gvas.pad_for_slab(src, N, TQ, J)
         Np = -(-N // TQ) * TQ
         qrow = jnp.concatenate(

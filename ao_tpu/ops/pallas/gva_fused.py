@@ -143,16 +143,24 @@ def _pad_lanes(x, width):
 
 
 def _recompute(kvp, qrow, valid_ts, A, cA, Wp2, bp2, W1x, b1x,
-                *, C, S, TQ):
+                *, C, S, TQ, lanes=None):
     """Shared slot-level recompute up to t = Dense1x(relation).
 
     W1x/b1x are the folded (pass 2 / bwd 1) or raw (pass 1 / bwd 2)
-    weight-MLP first layer. Returns a dict of live intermediates."""
+    weight-MLP first layer. Returns a dict of live intermediates.
+
+    ``lanes`` = (v_off, pos_off) overrides the default [k|v|pos6] row
+    layout; v_off=None marks a narrow row with no value lanes (the
+    stats passes don't consume v2)."""
+    v_off, pos_off = lanes if lanes is not None else (C, 2 * C)
     k_g = kvp[:, :C].astype(jnp.float32)
-    v_g = kvp[:, C:2 * C].astype(jnp.float32)
+    v_g = (
+        kvp[:, v_off:v_off + C].astype(jnp.float32)
+        if v_off is not None else None
+    )
     pos = (
-        kvp[:, 2 * C:2 * C + 3].astype(jnp.float32)
-        + kvp[:, 2 * C + 3:2 * C + 6].astype(jnp.float32)
+        kvp[:, pos_off:pos_off + 3].astype(jnp.float32)
+        + kvp[:, pos_off + 3:pos_off + 6].astype(jnp.float32)
     )
     valid = _expand_valid(valid_ts, TQ, S)  # (TQ*S, 1)
     mrow = qrow[:, C + 6:C + 7].astype(jnp.float32)  # (TQ, 1)
@@ -173,7 +181,7 @@ def _recompute(kvp, qrow, valid_ts, A, cA, Wp2, bp2, W1x, b1x,
     peb = _mm_bf16(pe1, Wp2) + bp2
 
     r = k_g - _mm_bf16(M, qrow[:, :C]) + peb
-    v2 = v_g + peb
+    v2 = v_g + peb if v_g is not None else None
     t = (_mm_bf16(r, W1x) + b1x) * valid
     return dict(pos=pos, valid=valid, mrow=mrow, M=M, pe0=pe0, pe1=pe1,
                 peb=peb, r=r, v2=v2, t=t)

@@ -60,7 +60,34 @@ __all__ = [
     "compute_pos_moments_slab",
     "pad_for_slab",
     "overlap_add",
+    "lane_layout",
+    "SPLIT_MIN_C",
 ]
+
+# Stages at/above this channel width use the split row layout (below it
+# a row already fits one 128-lane block, so there is nothing to narrow).
+SPLIT_MIN_C = 96
+
+
+def lane_layout(C):
+    """Slab row lane layout for channel width C.
+
+    split=True rows are ``[k(C) | pos-hi3 | pos-lo3 | 0.. (KW lanes) |
+    v(C) | 0.. (KW lanes)]`` — the stats / pos / bwd-stats passes (which
+    never touch v) then stream and one-hot-gather ONLY the first KW-lane
+    block of every slab, halving their MXU gather work and HBM traffic.
+    split=False keeps the legacy packed ``[k | v | pos6]`` row (C < 96:
+    the whole row already fits one 128-lane block).
+
+    ``lanes`` is the (v_off, pos_off) pair consumed by
+    gva_fused._recompute; ``row_w`` the unpadded row width callers must
+    build."""
+    if C >= SPLIT_MIN_C:
+        KW = -(-(C + 6) // 128) * 128
+        return dict(split=True, KW=KW, row_w=2 * KW,
+                    lanes=(KW, C), pos_off=C)
+    return dict(split=False, KW=None, row_w=2 * C + 6,
+                lanes=None, pos_off=2 * C)
 
 
 # ---------------------------------------------------------------------------
@@ -139,24 +166,25 @@ def _scatter_rows(delta, idxc, t, TQ, S, J, out_ref, add_in_ref=None):
 
 
 def _env_from_slab(slab_refs, idx_ref, qrow_ref, valid_ref, A, cA, Wp2, bp2,
-                   W1x, b1x, t, *, C, S, TQ):
+                   W1x, b1x, t, *, C, S, TQ, lanes=None):
     idxc = _idx_col(idx_ref[0].astype(jnp.float32), TQ, S)
     rows = _gather_rows(slab_refs, idxc, t, TQ, S).astype(jnp.bfloat16)
     env = _recompute(rows, qrow_ref[0], valid_ref[0], A, cA, Wp2, bp2,
-                     W1x, b1x, C=C, S=S, TQ=TQ)
+                     W1x, b1x, C=C, S=S, TQ=TQ, lanes=lanes)
     env["idxc"] = idxc
     return env
 
 
-def _pos_kernel(idx_ref, qrow_ref, valid_ref, *slab_then_out, C, S, G, TQ, J):
+def _pos_kernel(idx_ref, qrow_ref, valid_ref, *slab_then_out, C, S, G, TQ, J,
+                pos_off):
     slab_refs, sums_ref = slab_then_out[:-1], slab_then_out[-1]
     b = pl.program_id(0)
     t = pl.program_id(1)
     idxc = _idx_col(idx_ref[0].astype(jnp.float32), TQ, S)
     rows = _gather_rows(slab_refs, idxc, t, TQ, S)
     pos = (
-        rows[:, 2 * C : 2 * C + 3]
-        + rows[:, 2 * C + 3 : 2 * C + 6]
+        rows[:, pos_off : pos_off + 3]
+        + rows[:, pos_off + 3 : pos_off + 6]
     )
     qrow = qrow_ref[0]
     valid = _expand_valid(valid_ref[0], TQ, S)
@@ -181,14 +209,16 @@ def _pos_kernel(idx_ref, qrow_ref, valid_ref, *slab_then_out, C, S, G, TQ, J):
 
 
 def _stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
-                  bp2_ref, W1_ref, b1_ref, *slab_then_out, C, S, G, TQ, J):
+                  bp2_ref, W1_ref, b1_ref, *slab_then_out, C, S, G, TQ, J,
+                  pos_off):
     slab_refs, sums_ref = slab_then_out[:-1], slab_then_out[-1]
     b = pl.program_id(0)
     t = pl.program_id(1)
+    # narrow rows: no value lanes (stats never consume v2)
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1_ref[...], b1_ref[...], t,
-        C=C, S=S, TQ=TQ,
+        C=C, S=S, TQ=TQ, lanes=(None, pos_off),
     )
 
     @pl.when((b == 0) & (t == 0))
@@ -207,13 +237,13 @@ def _stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
 
 def _fwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
                 bp2_ref, W1f_ref, b1f_ref, W2_ref, b2_ref,
-                *slab_then_out, C, S, G, TQ, J):
+                *slab_then_out, C, S, G, TQ, J, lanes=None):
     slab_refs, out_ref = slab_then_out[:-1], slab_then_out[-1]
     t = pl.program_id(1)
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1f_ref[...], b1f_ref[...], t,
-        C=C, S=S, TQ=TQ,
+        C=C, S=S, TQ=TQ, lanes=lanes,
     )
     from .gva_fused import _expand_matrix, _mmt
 
@@ -227,7 +257,7 @@ def _fwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
 
 def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
                 bp2_ref, W1f_ref, b1f_ref, W2_ref, b2_ref, dout_ref,
-                *slab_then_out, C, S, G, TQ, J):
+                *slab_then_out, C, S, G, TQ, J, lanes=None):
     slab_refs = slab_then_out[:-3]
     dkv_ref, dq_ref, dpar_ref = slab_then_out[-3:]
     b = pl.program_id(0)
@@ -235,7 +265,7 @@ def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1f_ref[...], b1f_ref[...], t,
-        C=C, S=S, TQ=TQ,
+        C=C, S=S, TQ=TQ, lanes=lanes,
     )
     from .gva_fused import _expand_matrix, _mmt
 
@@ -259,8 +289,16 @@ def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     dpe0, dWp2, dbp2, dA, dcA = _peb_bwd(env, dpeb, Wp2_ref[...])
 
     rw = dkv_ref.shape[-1]
-    pad = jnp.zeros((TQ * S, rw - 2 * C), jnp.float32)
-    delta = jnp.concatenate([dr, dv2, pad], axis=1)
+    if lanes is not None:  # split layout: [dk at 0 | dv at KW]
+        v_off = lanes[0]
+        delta = jnp.concatenate([
+            dr, jnp.zeros((TQ * S, v_off - C), jnp.float32),
+            dv2, jnp.zeros((TQ * S, rw - v_off - C), jnp.float32),
+        ], axis=1)
+    else:
+        delta = jnp.concatenate([
+            dr, dv2, jnp.zeros((TQ * S, rw - 2 * C), jnp.float32),
+        ], axis=1)
     _scatter_rows(delta, env["idxc"], t, TQ, S, J, dkv_ref)
     dq_ref[0] = (-_mtm(M, dr)).astype(dq_ref.dtype)
 
@@ -285,8 +323,15 @@ def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
 
 
 def _bwd_stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
-                      bp2_ref, W1_ref, b1_ref, coef_ref, dkv_in_ref,
-                      dq_in_ref, *slab_then_out, C, S, G, TQ, J):
+                      bp2_ref, W1_ref, b1_ref, coef_ref, *slab_then_out,
+                      C, S, G, TQ, J, pos_off, aliased):
+    """BN-stat correction backward. ``aliased`` (legacy/unsplit): two extra
+    leading inputs carry the main-bwd dkv/dq to accumulate into (full-width
+    rows and outputs). Narrow (split) mode: gathers and scatters only the
+    KW-lane k|pos block; the caller adds the outputs in XLA."""
+    if aliased:
+        dkv_in_ref, dq_in_ref = slab_then_out[:2]
+        slab_then_out = slab_then_out[2:]
     slab_refs = slab_then_out[:-3]
     dkv_ref, dq_ref, dpar_ref = slab_then_out[-3:]
     b = pl.program_id(0)
@@ -294,7 +339,7 @@ def _bwd_stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1_ref[...], b1_ref[...], t,
-        C=C, S=S, TQ=TQ,
+        C=C, S=S, TQ=TQ, lanes=(None, pos_off),
     )
     valid, M = env["valid"], env["M"]
     c0 = coef_ref[0:1, :G]
@@ -307,8 +352,9 @@ def _bwd_stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     pad = jnp.zeros((TQ * S, rw - C), jnp.float32)
     delta = jnp.concatenate([dr, pad], axis=1)
     _scatter_rows(delta, env["idxc"], t, TQ, S, J, dkv_ref,
-                  add_in_ref=dkv_in_ref)
-    dq_ref[0] = dq_in_ref[0] - _mtm(M, dr)
+                  add_in_ref=dkv_in_ref if aliased else None)
+    dq2 = -_mtm(M, dr)
+    dq_ref[0] = (dq_in_ref[0] + dq2) if aliased else dq2.astype(dq_ref.dtype)
 
     @pl.when((b == 0) & (t == 0))
     def _():
@@ -333,17 +379,24 @@ def _bwd_stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
 # ---------------------------------------------------------------------------
 
 
-def _specs(S, C, TQ, rw, q_w, J):
-    idx = pl.BlockSpec((1, TQ, S), lambda b, t: (b, t, 0))
-    qrow = pl.BlockSpec((1, TQ, q_w), lambda b, t: (b, t, 0))
-    vspec = pl.BlockSpec((1, TQ, S), lambda b, t: (b, t, 0))
-    slabs = [
+def _slab_specs(TQ, w, J):
+    """J shifted streaming views of the (B, T+J-1, TQ, row_w) slab array;
+    w < row_w selects only its leading w-lane block (the split layout's
+    k|pos half — w must divide row_w)."""
+    return [
         pl.BlockSpec(
-            (1, 1, TQ, rw),
+            (1, 1, TQ, w),
             functools.partial(lambda b, t, j=0: (b, t + j, 0, 0), j=j),
         )
         for j in range(J)
     ]
+
+
+def _specs(S, C, TQ, rw, q_w, J):
+    idx = pl.BlockSpec((1, TQ, S), lambda b, t: (b, t, 0))
+    qrow = pl.BlockSpec((1, TQ, q_w), lambda b, t: (b, t, 0))
+    vspec = pl.BlockSpec((1, TQ, S), lambda b, t: (b, t, 0))
+    slabs = _slab_specs(TQ, rw, J)
 
     def const(shape):
         return pl.BlockSpec(shape, lambda b, t: tuple(0 for _ in shape))
@@ -400,15 +453,17 @@ def compute_pos_moments_slab(kv_pad, idxp, qrow, valid, S, C, G, TQ, J,
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
+    lay = lane_layout(C)
     idx_s, qrow_s, vspec, slabs, const, outn, _ = _specs(S, C, TQ, rw, q_w, J)
+    slabs_n = _slab_specs(TQ, lay["KW"], J) if lay["split"] else slabs
     SW = _stats_w(C, G)
     psums = _run(
         _pos_kernel, grid,
-        [idx_s, qrow_s, vspec] + slabs,
+        [idx_s, qrow_s, vspec] + slabs_n,
         pl.BlockSpec((5, SW), lambda b, t: (0, 0)),
         jax.ShapeDtypeStruct((5, SW), jnp.float32),
         (idxp, qrow, valid) + (kv_pad,) * J,
-        interpret, C=C, S=S, G=G, TQ=TQ, J=J,
+        interpret, C=C, S=S, G=G, TQ=TQ, J=J, pos_off=lay["pos_off"],
     )
     psums = lax.optimization_barrier(psums)
     return jax.tree_util.tree_map(
@@ -423,7 +478,9 @@ def _fwd_inner(kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2,
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
+    lay = lane_layout(C)
     idx_s, qrow_s, vspec, slabs, const, outn, _ = _specs(S, C, TQ, rw, q_w, J)
+    slabs_n = _slab_specs(TQ, lay["KW"], J) if lay["split"] else slabs
     SW = _stats_w(C, G)
 
     if pos_moments is None:
@@ -437,12 +494,12 @@ def _fwd_inner(kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2,
         _stats_kernel, grid,
         [idx_s, qrow_s, vspec, const(A.shape), const((1, C)),
          const(Wp2.shape), const((1, C)), const(W1.shape), const((1, G))]
-        + slabs,
+        + slabs_n,
         pl.BlockSpec((7, SW), lambda b, t: (0, 0)),
         jax.ShapeDtypeStruct((7, SW), jnp.float32),
         (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None])
         + (kv_pad,) * J,
-        interpret, C=C, S=S, G=G, TQ=TQ, J=J,
+        interpret, C=C, S=S, G=G, TQ=TQ, J=J, pos_off=lay["pos_off"],
     )
     sums = lax.optimization_barrier(sums)
     n = jnp.maximum(sums[2, 0], 1.0)
@@ -458,7 +515,7 @@ def _fwd_inner(kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2,
         jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
         (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1f, b1f[None], W2,
          b2[None]) + (kv_pad,) * J,
-        interpret, C=C, S=S, G=G, TQ=TQ, J=J,
+        interpret, C=C, S=S, G=G, TQ=TQ, J=J, lanes=lay["lanes"],
     )
     out = lax.optimization_barrier(out)
     res = (kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
@@ -474,6 +531,7 @@ def gva_slab_core_eval(kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2,
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
+    lay = lane_layout(C)
     idx_s, qrow_s, vspec, slabs, const, outn, _ = _specs(S, C, TQ, rw, q_w, J)
     A, cA = _fold_pe_running(Wp1, bp1, gp, bp, *running_p)
     W1f, b1f, _, _ = _fold_w(W1, b1, gw, bw, *running_w)
@@ -486,7 +544,7 @@ def gva_slab_core_eval(kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2,
         jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
         (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1f, b1f[None], W2,
          b2[None]) + (kv_pad,) * J,
-        interpret, C=C, S=S, G=G, TQ=TQ, J=J,
+        interpret, C=C, S=S, G=G, TQ=TQ, J=J, lanes=lay["lanes"],
     )
     return lax.optimization_barrier(out)
 
@@ -509,6 +567,7 @@ def _bwd_vjp(N, S, C, G, TQ, J, interpret, res, cts):
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
+    lay = lane_layout(C)
     idx_s, qrow_s, vspec, slabs, const, outn, dkv_tiles_spec = _specs(
         S, C, TQ, rw, q_w, J
     )
@@ -529,7 +588,7 @@ def _bwd_vjp(N, S, C, G, TQ, J, interpret, res, cts):
          jax.ShapeDtypeStruct((rows, PW), jnp.float32)],
         (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1f, b1f[None], W2,
          b2[None], dout) + (kv_pad,) * J,
-        interpret, C=C, S=S, G=G, TQ=TQ, J=J,
+        interpret, C=C, S=S, G=G, TQ=TQ, J=J, lanes=lay["lanes"],
     )
     dkv_t, dq, dpar = lax.optimization_barrier((dkv_t, dq, dpar))
     r0 = 0
@@ -559,20 +618,48 @@ def _bwd_vjp(N, S, C, G, TQ, J, interpret, res, cts):
     )
 
     rows2 = _N_PAR_STATS(C)
-    dkv_t, dq, dpar2 = _run(
-        _bwd_stats_kernel, grid,
-        [idx_s, qrow_s, vspec, const(A.shape), const((1, C)),
-         const(Wp2.shape), const((1, C)), const(W1.shape), const((1, G)),
-         const(coef.shape), dkv_tiles_spec, outn] + slabs,
-        [dkv_tiles_spec, outn, pl.BlockSpec((rows2, PW), lambda b, t: (0, 0))],
-        [jax.ShapeDtypeStruct((B, T, J, TQ, rw), jnp.bfloat16),
-         jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
-         jax.ShapeDtypeStruct((rows2, PW), jnp.float32)],
-        (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None], coef,
-         dkv_t, dq) + (kv_pad,) * J,
-        interpret, io_aliases={10: 0, 11: 1}, C=C, S=S, G=G, TQ=TQ, J=J,
-    )
-    dkv_t, dq, dpar2 = lax.optimization_barrier((dkv_t, dq, dpar2))
+    if lay["split"]:
+        # narrow pass: gather and scatter only the KW-lane k|pos block,
+        # combine with the main backward's tiles in XLA
+        KW = lay["KW"]
+        slabs_n = _slab_specs(TQ, KW, J)
+        dkv_n_spec = pl.BlockSpec((1, 1, J, TQ, KW),
+                                  lambda b, t: (b, t, 0, 0, 0))
+        dkv2_t, dq2, dpar2 = _run(
+            _bwd_stats_kernel, grid,
+            [idx_s, qrow_s, vspec, const(A.shape), const((1, C)),
+             const(Wp2.shape), const((1, C)), const(W1.shape),
+             const((1, G)), const(coef.shape)] + slabs_n,
+            [dkv_n_spec, outn,
+             pl.BlockSpec((rows2, PW), lambda b, t: (0, 0))],
+            [jax.ShapeDtypeStruct((B, T, J, TQ, KW), jnp.bfloat16),
+             jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
+             jax.ShapeDtypeStruct((rows2, PW), jnp.float32)],
+            (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None],
+             coef) + (kv_pad,) * J,
+            interpret, C=C, S=S, G=G, TQ=TQ, J=J, pos_off=lay["pos_off"],
+            aliased=False,
+        )
+        dkv2_t, dq2, dpar2 = lax.optimization_barrier((dkv2_t, dq2, dpar2))
+        dkv_t = dkv_t.at[..., :KW].add(dkv2_t)
+        dq = dq + dq2
+    else:
+        dkv_t, dq, dpar2 = _run(
+            _bwd_stats_kernel, grid,
+            [idx_s, qrow_s, vspec, const(A.shape), const((1, C)),
+             const(Wp2.shape), const((1, C)), const(W1.shape),
+             const((1, G)), const(coef.shape), dkv_tiles_spec, outn] + slabs,
+            [dkv_tiles_spec, outn,
+             pl.BlockSpec((rows2, PW), lambda b, t: (0, 0))],
+            [jax.ShapeDtypeStruct((B, T, J, TQ, rw), jnp.bfloat16),
+             jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
+             jax.ShapeDtypeStruct((rows2, PW), jnp.float32)],
+            (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None],
+             coef, dkv_t, dq) + (kv_pad,) * J,
+            interpret, io_aliases={10: 0, 11: 1}, C=C, S=S, G=G, TQ=TQ, J=J,
+            pos_off=lay["pos_off"], aliased=True,
+        )
+        dkv_t, dq, dpar2 = lax.optimization_barrier((dkv_t, dq, dpar2))
     r0 = 0
     dW1 = dW1 + dpar2[r0:r0 + C, :G]; r0 += C                # noqa: E702
     db1 = db1 + dpar2[r0, :G]; r0 += 1                       # noqa: E702

@@ -65,11 +65,32 @@ def case():
                 valid=valid, mask=mask, P=P, gp=gp, bpv=bpv, wp=wp)
 
 
+@pytest.fixture(params=[False, True], ids=["packed", "split"])
+def split_layout(request):
+    """Run the parity tests in both slab row layouts (gs.lane_layout):
+    the legacy packed [k|v|pos6] row and the split [k|pos6||v] row the
+    C>=SPLIT_MIN_C stages use for narrow stats/pos/bwd-stats passes."""
+    old = gs.SPLIT_MIN_C
+    gs.SPLIT_MIN_C = 8 if request.param else 10_000
+    yield request.param
+    gs.SPLIT_MIN_C = old
+
+
 def _build_inputs(case, kf, vf, qf):
     """Both paths' tensors from (possibly perturbed) f32 features."""
     bf = jnp.bfloat16
     c6 = gf.pack_coords(jnp.asarray(case["coord"]))
     src = jnp.concatenate([kf.astype(bf), vf.astype(bf), c6], axis=-1)
+    lay = gs.lane_layout(C)
+    if lay["split"]:
+        KW = lay["KW"]
+        zk = jnp.zeros(kf.shape[:-1] + (KW - C - 6,), bf)
+        zv = jnp.zeros(kf.shape[:-1] + (KW - C,), bf)
+        slab_src = jnp.concatenate(
+            [kf.astype(bf), c6, zk, vf.astype(bf), zv], axis=-1
+        )
+    else:
+        slab_src = src
     qrow = jnp.concatenate(
         [
             qf.astype(bf),
@@ -83,8 +104,8 @@ def _build_inputs(case, kf, vf, qf):
     srcp = jnp.pad(src, ((0, 0), (0, NP - N), (0, 0)))
     flat = jnp.asarray(case["idx"].reshape(B, NP * S))
     kvp = jnp.take_along_axis(srcp, flat[..., None], axis=1)
-    # slab-path tensors
-    kv_pad = gs.pad_for_slab(src, N, TQ, J)
+    # slab-path tensors (layout per gs.lane_layout)
+    kv_pad = gs.pad_for_slab(slab_src, N, TQ, J)
     idxp = jnp.asarray(case["idx"] + W, jnp.int32)
     return src, qrow, validb, kvp, kv_pad, idxp
 
@@ -101,7 +122,7 @@ def _slab_args(case, kv_pad, idxp, qrow, validb):
             P["Wp2"], P["bp2"], wp)
 
 
-def test_forward_stats_and_pos_parity(case):
+def test_forward_stats_and_pos_parity(case, split_layout):
     """Same graph -> same output rows, weight-BN stats, pe-BN stats; both
     paths compute pos moments in-kernel (pos_moments=None)."""
     kf, vf, qf = (jnp.asarray(case[k]) for k in ("kf", "vf", "qf"))
@@ -125,7 +146,7 @@ def test_forward_stats_and_pos_parity(case):
     assert float(sw_[2]) == float(rsw[2])
 
 
-def test_eval_mode_parity(case):
+def test_eval_mode_parity(case, split_layout):
     kf, vf, qf = (jnp.asarray(case[k]) for k in ("kf", "vf", "qf"))
     _, qrow, validb, kvp, kv_pad, idxp = _build_inputs(case, kf, vf, qf)
     _, rsw, rsp = gf.gva_core(
@@ -143,7 +164,7 @@ def test_eval_mode_parity(case):
     assert float(jnp.max(jnp.abs(oe[:, :N] - roe[:, :N]))) < 5e-3 * scale
 
 
-def test_gradient_parity(case):
+def test_gradient_parity(case, split_layout):
     """d/d(src rows, q, params) must match the gathered path's autodiff-
     composed gather + hand-written kernel backward."""
     case_kf = jnp.asarray(case["kf"])
