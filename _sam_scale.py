@@ -53,8 +53,11 @@ def main():
     print(f"encoder: {dt*1e3:.0f} ms/frame => {1/dt:.2f} frames/sec",
           flush=True)
 
-    # prompt decoder on cached embedding (REAL-loop shape: many points)
-    pred = SamPredictor(cfg, params)
+    # prompt decoder on cached embedding (REAL-loop shape: many points);
+    # params above hold only the encoder (init via get_image_embeddings) -
+    # let the predictor deterministically init the full model for the
+    # decoder half
+    pred = SamPredictor(cfg, None)
     pred.set_features(np.asarray(jax.tree_util.tree_leaves(emb)[0]),
                       (1080, 1080))
     pts = np.asarray(
