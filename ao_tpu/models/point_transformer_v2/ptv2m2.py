@@ -300,9 +300,10 @@ class GroupedVectorAttention(nn.Module):
             # gather only the first KW-lane block (gva_slab.lane_layout)
             KW = lay["KW"]
             zk = jnp.zeros(k.shape[:-1] + (KW - C - 6,), bf)
-            zv = jnp.zeros(k.shape[:-1] + (KW - C,), bf)
+            zv = jnp.zeros(k.shape[:-1] + (lay["row_w"] - KW - C,), bf)
             src = jnp.concatenate(
-                [k.astype(bf), coord6, zk, v.astype(bf), zv], axis=-1
+                [p for p in (k.astype(bf), coord6, zk, v.astype(bf), zv)
+                 if p.shape[-1]], axis=-1
             )
         else:
             src = jnp.concatenate(

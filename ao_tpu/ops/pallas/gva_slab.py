@@ -84,7 +84,8 @@ def lane_layout(C):
     build."""
     if C >= SPLIT_MIN_C:
         KW = -(-(C + 6) // 128) * 128
-        return dict(split=True, KW=KW, row_w=2 * KW,
+        VW = -(-C // 128) * 128  # v block needs only C lanes (no pos6)
+        return dict(split=True, KW=KW, row_w=KW + VW,
                     lanes=(KW, C), pos_off=C)
     return dict(split=False, KW=None, row_w=2 * C + 6,
                 lanes=None, pos_off=2 * C)
@@ -93,6 +94,17 @@ def lane_layout(C):
 # ---------------------------------------------------------------------------
 # host-side helpers
 # ---------------------------------------------------------------------------
+
+
+def _check_layout(kv_pad, C):
+    """Entry-point guard: the caller's row width must match the layout
+    this module would derive for C (SPLIT_MIN_C is mutable in tests; a
+    stale layout silently mis-slices pos/v lanes)."""
+    lay = lane_layout(C)
+    assert kv_pad.shape[-1] == lay["row_w"], (
+        kv_pad.shape, C, lay["row_w"]
+    )
+    return lay
 
 
 def pad_for_slab(kv, N, TQ, J):
@@ -124,9 +136,23 @@ def overlap_add(dkv_tiles, N, TQ, J):
 # ---------------------------------------------------------------------------
 
 
-def _idx_col(idx_ts, TQ, S):
-    """(TQ, S) f32 neighbour ids (padded coords) -> (TQ*S, 1) column."""
-    return _expand_valid(idx_ts, TQ, S)
+def _idx_col(idx_ts, t, TQ, S, J):
+    """(TQ, S) f32 W-padded GLOBAL neighbour ids -> (TQ*S, 1) column.
+
+    _expand_valid transports values through a bf16 one-hot matmul,
+    which is integer-exact only up to 256 — global row ids are not
+    (they reach N + 2W). Split the id relative to this tile's slab
+    base into a block index (< J) and an in-block offset (< TQ <= 256),
+    transport each exactly, recombine in f32 (exact below 2^24).
+    Out-of-slab ids (only possible on ``valid``-masked slots) clamp to
+    the slab, matching the masked-garbage semantics of the gather."""
+    assert TQ <= 256 and TQ & (TQ - 1) == 0, TQ  # off/blk bf16-exact
+    base = (t * TQ).astype(jnp.float32)
+    rel = jnp.clip(idx_ts - base, 0.0, float(J * TQ - 1))
+    blk = jnp.floor(rel * (1.0 / TQ))
+    off = rel - blk * TQ
+    col = _expand_valid(blk, TQ, S) * TQ + _expand_valid(off, TQ, S)
+    return col + base
 
 
 def _gather_rows(slab_refs, idxc, t, TQ, S):
@@ -166,8 +192,8 @@ def _scatter_rows(delta, idxc, t, TQ, S, J, out_ref, add_in_ref=None):
 
 
 def _env_from_slab(slab_refs, idx_ref, qrow_ref, valid_ref, A, cA, Wp2, bp2,
-                   W1x, b1x, t, *, C, S, TQ, lanes=None):
-    idxc = _idx_col(idx_ref[0].astype(jnp.float32), TQ, S)
+                   W1x, b1x, t, *, C, S, TQ, J, lanes=None):
+    idxc = _idx_col(idx_ref[0].astype(jnp.float32), t, TQ, S, J)
     rows = _gather_rows(slab_refs, idxc, t, TQ, S).astype(jnp.bfloat16)
     env = _recompute(rows, qrow_ref[0], valid_ref[0], A, cA, Wp2, bp2,
                      W1x, b1x, C=C, S=S, TQ=TQ, lanes=lanes)
@@ -180,7 +206,7 @@ def _pos_kernel(idx_ref, qrow_ref, valid_ref, *slab_then_out, C, S, G, TQ, J,
     slab_refs, sums_ref = slab_then_out[:-1], slab_then_out[-1]
     b = pl.program_id(0)
     t = pl.program_id(1)
-    idxc = _idx_col(idx_ref[0].astype(jnp.float32), TQ, S)
+    idxc = _idx_col(idx_ref[0].astype(jnp.float32), t, TQ, S, J)
     rows = _gather_rows(slab_refs, idxc, t, TQ, S)
     pos = (
         rows[:, pos_off : pos_off + 3]
@@ -218,7 +244,7 @@ def _stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1_ref[...], b1_ref[...], t,
-        C=C, S=S, TQ=TQ, lanes=(None, pos_off),
+        C=C, S=S, TQ=TQ, J=J, lanes=(None, pos_off),
     )
 
     @pl.when((b == 0) & (t == 0))
@@ -243,7 +269,7 @@ def _fwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1f_ref[...], b1f_ref[...], t,
-        C=C, S=S, TQ=TQ, lanes=lanes,
+        C=C, S=S, TQ=TQ, J=J, lanes=lanes,
     )
     from .gva_fused import _expand_matrix, _mmt
 
@@ -265,7 +291,7 @@ def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1f_ref[...], b1f_ref[...], t,
-        C=C, S=S, TQ=TQ, lanes=lanes,
+        C=C, S=S, TQ=TQ, J=J, lanes=lanes,
     )
     from .gva_fused import _expand_matrix, _mmt
 
@@ -291,14 +317,12 @@ def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     rw = dkv_ref.shape[-1]
     if lanes is not None:  # split layout: [dk at 0 | dv at KW]
         v_off = lanes[0]
-        delta = jnp.concatenate([
-            dr, jnp.zeros((TQ * S, v_off - C), jnp.float32),
-            dv2, jnp.zeros((TQ * S, rw - v_off - C), jnp.float32),
-        ], axis=1)
+        parts = [dr, jnp.zeros((TQ * S, v_off - C), jnp.float32), dv2,
+                 jnp.zeros((TQ * S, rw - v_off - C), jnp.float32)]
     else:
-        delta = jnp.concatenate([
-            dr, dv2, jnp.zeros((TQ * S, rw - 2 * C), jnp.float32),
-        ], axis=1)
+        parts = [dr, dv2, jnp.zeros((TQ * S, rw - 2 * C), jnp.float32)]
+    # Mosaic rejects 0-width vector types — drop empty pad blocks
+    delta = jnp.concatenate([p for p in parts if p.shape[1]], axis=1)
     _scatter_rows(delta, env["idxc"], t, TQ, S, J, dkv_ref)
     dq_ref[0] = (-_mtm(M, dr)).astype(dq_ref.dtype)
 
@@ -339,7 +363,7 @@ def _bwd_stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     env = _env_from_slab(
         slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
         Wp2_ref[...], bp2_ref[...], W1_ref[...], b1_ref[...], t,
-        C=C, S=S, TQ=TQ, lanes=(None, pos_off),
+        C=C, S=S, TQ=TQ, J=J, lanes=(None, pos_off),
     )
     valid, M = env["valid"], env["M"]
     c0 = coef_ref[0:1, :G]
@@ -453,7 +477,7 @@ def compute_pos_moments_slab(kv_pad, idxp, qrow, valid, S, C, G, TQ, J,
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
-    lay = lane_layout(C)
+    lay = _check_layout(kv_pad, C)
     idx_s, qrow_s, vspec, slabs, const, outn, _ = _specs(S, C, TQ, rw, q_w, J)
     slabs_n = _slab_specs(TQ, lay["KW"], J) if lay["split"] else slabs
     SW = _stats_w(C, G)
@@ -478,7 +502,7 @@ def _fwd_inner(kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2,
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
-    lay = lane_layout(C)
+    lay = _check_layout(kv_pad, C)
     idx_s, qrow_s, vspec, slabs, const, outn, _ = _specs(S, C, TQ, rw, q_w, J)
     slabs_n = _slab_specs(TQ, lay["KW"], J) if lay["split"] else slabs
     SW = _stats_w(C, G)
@@ -531,7 +555,7 @@ def gva_slab_core_eval(kv_pad, idxp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2,
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
-    lay = lane_layout(C)
+    lay = _check_layout(kv_pad, C)
     idx_s, qrow_s, vspec, slabs, const, outn, _ = _specs(S, C, TQ, rw, q_w, J)
     A, cA = _fold_pe_running(Wp1, bp1, gp, bp, *running_p)
     W1f, b1f, _, _ = _fold_w(W1, b1, gw, bw, *running_w)
@@ -567,7 +591,7 @@ def _bwd_vjp(N, S, C, G, TQ, J, interpret, res, cts):
     T = TJ - (J - 1)
     q_w = qrow.shape[-1]
     grid = (B, T)
-    lay = lane_layout(C)
+    lay = _check_layout(kv_pad, C)
     idx_s, qrow_s, vspec, slabs, const, outn, dkv_tiles_spec = _specs(
         S, C, TQ, rw, q_w, J
     )

@@ -85,7 +85,7 @@ def _build_inputs(case, kf, vf, qf):
     if lay["split"]:
         KW = lay["KW"]
         zk = jnp.zeros(kf.shape[:-1] + (KW - C - 6,), bf)
-        zv = jnp.zeros(kf.shape[:-1] + (KW - C,), bf)
+        zv = jnp.zeros(kf.shape[:-1] + (lay["row_w"] - KW - C,), bf)
         slab_src = jnp.concatenate(
             [kf.astype(bf), c6, zk, vf.astype(bf), zv], axis=-1
         )
@@ -213,6 +213,81 @@ def test_gradient_parity(case, split_layout):
         sc = max(np.abs(a).max(), 1e-5)
         rel = np.abs(a - b).max() / sc
         assert rel < tol[nm], (nm, rel, sc)
+
+
+def test_forward_parity_large_row_ids(split_layout):
+    """Index-transport exactness: with N=608 the W-padded global row ids
+    reach 671 — far beyond bf16's 256 integer-exact range. The in-kernel
+    gather must still hit exactly the right rows (the ids are split into
+    block/offset components that each stay <= 256; a bf16 transport of
+    the raw id rounds 257->256 etc. and silently gathers wrong rows)."""
+    n, s, c, g, tq, j = 608, 8, 16, 4, 32, 3
+    w = (j - 1) // 2 * tq
+    np_ = -(-n // tq) * tq
+    rng = np.random.default_rng(13)
+    kf = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32) * 0.5)
+    vf = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32) * 0.5)
+    coord = rng.uniform(0, 4, (1, n, 3)).astype(np.float32)
+    qf = jnp.asarray(rng.normal(size=(1, np_, c)).astype(np.float32) * 0.5)
+    qcoord = rng.uniform(0, 4, (1, np_, 3)).astype(np.float32)
+    idx = np.zeros((1, np_, s), np.int64)
+    for i in range(np_):
+        t = i // tq
+        lo, hi = max(t * tq - w, 0), min(t * tq + tq + w, n)
+        idx[:, i] = rng.integers(lo, hi, (1, s))
+    valid = (rng.random((1, np_, s)) < 0.9).astype(np.float32)
+    valid[:, n:] = 0.0
+    mask = np.ones((1, np_), np.float32)
+    mask[:, n:] = 0.0
+
+    P = {
+        k: jnp.asarray(rng.normal(size=sh).astype(np.float32) * m)
+        for k, (sh, m) in dict(
+            Wp1=((3, c), 0.3), bp1=((c,), 0.1), Wp2=((c, c), 0.2),
+            bp2=((c,), 0.1), W1=((c, g), 0.3), b1=((g,), 0.1),
+            W2=((g, g), 0.4), b2=((g,), 0.1),
+        ).items()
+    }
+    gp, bpv = jnp.ones(c) * 1.1, jnp.zeros(c) + 0.05
+    wp = (P["W1"], P["b1"], jnp.ones(g) * 0.9, jnp.zeros(g) - 0.02,
+          P["W2"], P["b2"])
+
+    bf = jnp.bfloat16
+    c6 = gf.pack_coords(jnp.asarray(coord))
+    src = jnp.concatenate([kf.astype(bf), vf.astype(bf), c6], axis=-1)
+    lay = gs.lane_layout(c)
+    if lay["split"]:
+        kw = lay["KW"]
+        zk = jnp.zeros(kf.shape[:-1] + (kw - c - 6,), bf)
+        zv = jnp.zeros(kf.shape[:-1] + (lay["row_w"] - kw - c,), bf)
+        slab_src = jnp.concatenate(
+            [kf.astype(bf), c6, zk, vf.astype(bf), zv], axis=-1
+        )
+    else:
+        slab_src = src
+    qrow = jnp.concatenate(
+        [qf.astype(bf), gf.pack_coords(jnp.asarray(qcoord)),
+         jnp.asarray(mask)[..., None].astype(bf)], -1,
+    )
+    validb = jnp.asarray(valid).astype(bf)
+    srcp = jnp.pad(src, ((0, 0), (0, np_ - n), (0, 0)))
+    flat = jnp.asarray(idx.reshape(1, np_ * s))
+    kvp = jnp.take_along_axis(srcp, flat[..., None], axis=1)
+    kv_pad = gs.pad_for_slab(slab_src, n, tq, j)
+    idxp = jnp.asarray(idx + w, jnp.int32)
+
+    ro, rsw, _ = gf.gva_core(
+        kvp, qrow, validb, P["Wp1"], P["bp1"], gp, bpv, P["Wp2"], P["bp2"],
+        wp, None, s, c, g, tq, True,
+    )
+    o, sw_, _ = gs.gva_slab_core(
+        kv_pad, idxp, qrow, validb, P["Wp1"], P["bp1"], gp, bpv, P["Wp2"],
+        P["bp2"], wp, None, np_, s, c, g, tq, j, True,
+    )
+    scale = max(float(jnp.max(jnp.abs(ro))), 1.0)
+    assert float(jnp.max(jnp.abs(o[:, :n] - ro[:, :n]))) < 5e-3 * scale
+    for a, b in zip(sw_[:2], rsw[:2]):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-2
 
 
 def test_presorted_knn_edges_in_slab_and_topk():
