@@ -206,15 +206,26 @@ class RealTrainer(Trainer):
     @property
     def predictor(self):
         if self._predictor is None and self.is_main_process:
-            from ao_tpu.models.sam import (
-                SamConfig, SamPredictor, load_sam_checkpoint,
-            )
+            if self.real_cfg.get("sam_oracle"):
+                # GT-instance oracle masks (models/sam/oracle.py) — the
+                # embedding cache must hold id maps (pp2s sam_oracle mode)
+                from ao_tpu.models.sam import OracleSamPredictor
 
-            model_type = self.real_cfg.get("sam_model_type", "vit_h")
-            cfg = getattr(SamConfig, model_type.replace("-", "_"))()
-            ckpt = self.real_cfg.get("sam_checkpoint")
-            params = {"params": load_sam_checkpoint(ckpt)} if ckpt else None
-            self._predictor = SamPredictor(cfg, params)
+                self._predictor = OracleSamPredictor(
+                    quality=self.real_cfg.get("oracle_quality", 0.7)
+                )
+            else:
+                from ao_tpu.models.sam import (
+                    SamConfig, SamPredictor, load_sam_checkpoint,
+                )
+
+                model_type = self.real_cfg.get("sam_model_type", "vit_h")
+                cfg = getattr(SamConfig, model_type.replace("-", "_"))()
+                ckpt = self.real_cfg.get("sam_checkpoint")
+                params = (
+                    {"params": load_sam_checkpoint(ckpt)} if ckpt else None
+                )
+                self._predictor = SamPredictor(cfg, params)
         return self._predictor
 
     def set_predictor(self, predictor):

@@ -4,4 +4,5 @@ from .convert import (
     convert_original_checkpoint,
     load_sam_checkpoint,
 )
+from .oracle import OracleSamPredictor
 from .predictor import SamPredictor

@@ -32,7 +32,12 @@ import numpy as np
 from ao_tpu.datasets.defaults import load_scene
 from ao_tpu.utils.logger import get_root_logger
 
-from .projection import align_room, compute_bridge, project_points
+from .projection import (
+    align_room,
+    compute_bridge,
+    project_points,
+    splat_raster,
+)
 from .labels import (
     choose_weak_labels,
     make_basket,
@@ -52,6 +57,8 @@ class PP2SPipeline:
         areas=AREAS,
         num_classes: int = 13,
         depth_divisor: float = 512.0,
+        sam_oracle: bool = False,
+        oracle_quality: float = 0.7,
     ):
         self.data_root = data_root
         self.areas = areas
@@ -61,6 +68,11 @@ class PP2SPipeline:
         self._predictor = None
         self._sam_checkpoint = sam_checkpoint
         self._sam_model_type = sam_model_type
+        # oracle mode (models/sam/oracle.py): stage 1 rasterises GT
+        # instance-id maps as the "embeddings" and the predictor decodes
+        # masks from them — for environments without SAM weights
+        self.sam_oracle = sam_oracle
+        self.oracle_quality = oracle_quality
 
     # ---- paths ----
     def _p(self, *parts):
@@ -125,13 +137,26 @@ class PP2SPipeline:
     @property
     def predictor(self):
         if self._predictor is None:
-            from ao_tpu.models.sam import SamConfig, SamPredictor, load_sam_checkpoint
+            if self.sam_oracle:
+                from ao_tpu.models.sam import OracleSamPredictor
 
-            cfg = getattr(SamConfig, self._sam_model_type.replace("-", "_"))()
-            params = None
-            if self._sam_checkpoint:
-                params = {"params": load_sam_checkpoint(self._sam_checkpoint)}
-            self._predictor = SamPredictor(cfg, params)
+                self._predictor = OracleSamPredictor(
+                    quality=self.oracle_quality
+                )
+            else:
+                from ao_tpu.models.sam import (
+                    SamConfig, SamPredictor, load_sam_checkpoint,
+                )
+
+                cfg = getattr(
+                    SamConfig, self._sam_model_type.replace("-", "_")
+                )()
+                params = None
+                if self._sam_checkpoint:
+                    params = {
+                        "params": load_sam_checkpoint(self._sam_checkpoint)
+                    }
+                self._predictor = SamPredictor(cfg, params)
         return self._predictor
 
     # ---- stage 1: SAM embeddings ----
@@ -149,8 +174,23 @@ class PP2SPipeline:
                         continue
                     rgb_path = self._p("S2D3D", area, "data", "rgb", frame + ".png")
                     img = np.asarray(Image.open(rgb_path))[..., :3]
-                    feats = self.predictor.set_image(img)
-                    np.savez_compressed(out, features=np.asarray(feats[0]))
+                    if self.sam_oracle:
+                        # per-pixel GT instance ids under the SAME splat
+                        # z-buffer as the rendered frames, stored in the
+                        # embedding cache slot (models/sam/oracle.py)
+                        coord = self.aligned_coord(area, room, data)
+                        iid = np.asarray(
+                            data["instance_gt"], np.int32
+                        ).reshape(-1)
+                        k, rt = self.pose(area, frame)
+                        id_map, _ = splat_raster(
+                            coord, iid, k, rt, img.shape[:2], splat=2,
+                            background=np.int32(-1),
+                        )
+                        np.savez_compressed(out, features=id_map)
+                    else:
+                        feats = self.predictor.set_image(img)
+                        np.savez_compressed(out, features=np.asarray(feats[0]))
                 self.logger.info(f"embeddings done: {area}/{room}")
 
     # ---- stage 2: bridges ----
@@ -230,41 +270,12 @@ class PP2SPipeline:
                     R = np.stack([right, down, look])  # world -> cam rows
                     t = -R @ eye
                     rt = np.concatenate([R, t[:, None]], axis=1)
-                    # same projection as compute_bridge (projection.py:28)
-                    pix, z = project_points(coord, K, rt)
-                    keep = (
-                        (z > 0.1)
-                        & np.isfinite(pix).all(1)
-                        & (pix[:, 0] >= 0) & (pix[:, 0] < size)
-                        & (pix[:, 1] >= 0) & (pix[:, 1] < size)
+                    # shared splat z-buffer (projection.py splat_raster) —
+                    # the oracle id maps rasterise identically
+                    rgb, depth = splat_raster(
+                        coord, color.astype(np.uint8), K, rt,
+                        (size, size), splat=splat,
                     )
-                    ui = pix[keep, 0].astype(np.int64)
-                    vi = pix[keep, 1].astype(np.int64)
-                    zk = z[keep]
-                    ck = color[keep]
-                    # z-buffer: expand every splat offset first, then one
-                    # global far-to-near write — per-offset passes would
-                    # let a later pass overwrite a near pixel with a far
-                    # point's splat, breaking occlusion where splats of
-                    # different depths overlap
-                    offs = [
-                        (dy, dx)
-                        for dy in range(-splat, splat + 1)
-                        for dx in range(-splat, splat + 1)
-                    ]
-                    yy = np.concatenate(
-                        [np.clip(vi + dy, 0, size - 1) for dy, _ in offs]
-                    )
-                    xx = np.concatenate(
-                        [np.clip(ui + dx, 0, size - 1) for _, dx in offs]
-                    )
-                    zz = np.tile(zk, len(offs))
-                    cc = np.tile(ck.astype(np.uint8), (len(offs), 1))
-                    order = np.argsort(-zz, kind="stable")
-                    rgb = np.zeros((size, size, 3), np.uint8)
-                    depth = np.zeros((size, size), np.float64)
-                    rgb[yy[order], xx[order]] = cc[order]
-                    depth[yy[order], xx[order]] = zz[order]
                     frame = f"camera_render{v:02d}_{room}_rgb"
                     rgb_dir = self._p("S2D3D", area, "data", "rgb")
                     dep_dir = self._p("S2D3D", area, "data", "depth")

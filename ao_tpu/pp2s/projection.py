@@ -72,6 +72,58 @@ def compute_bridge(
     return bridge
 
 
+def splat_raster(
+    coord: np.ndarray,  # (N, 3) aligned world coords
+    values: np.ndarray,  # (N,) or (N, D) per-point values to paint
+    k_matrix: np.ndarray,
+    rt_matrix: np.ndarray,
+    size: Tuple[int, int],  # (H, W)
+    splat: int = 2,
+    background=0,
+    z_near: float = 0.1,
+):
+    """Far-to-near z-buffer splat of per-point ``values`` into an image.
+
+    Every point paints a (2*splat+1)^2 pixel block; overlapping splats
+    resolve by a single global far-to-near ordered write (per-offset
+    passes would let a later pass overwrite a near pixel with a far
+    point's splat). This is the one rasteriser behind both the PP2S
+    rendering variant's rgb/depth frames and the oracle-SAM per-pixel
+    instance-id maps, so their visibility is bit-identical.
+
+    Returns (img (H, W) or (H, W, D), depth (H, W) float64 with 0 = no
+    point)."""
+    h, w = size
+    vals = np.asarray(values)
+    pix, z = project_points(coord, k_matrix, rt_matrix)
+    keep = (
+        (z > z_near)
+        & np.isfinite(pix).all(1)
+        & (pix[:, 0] >= 0) & (pix[:, 0] < w)
+        & (pix[:, 1] >= 0) & (pix[:, 1] < h)
+    )
+    ui = pix[keep, 0].astype(np.int64)
+    vi = pix[keep, 1].astype(np.int64)
+    zk = z[keep]
+    ck = vals[keep]
+    offs = [
+        (dy, dx)
+        for dy in range(-splat, splat + 1)
+        for dx in range(-splat, splat + 1)
+    ]
+    yy = np.concatenate([np.clip(vi + dy, 0, h - 1) for dy, _ in offs])
+    xx = np.concatenate([np.clip(ui + dx, 0, w - 1) for _, dx in offs])
+    zz = np.tile(zk, len(offs))
+    cc = np.tile(ck, (len(offs),) + (1,) * (ck.ndim - 1))
+    order = np.argsort(-zz, kind="stable")
+    img_shape = (h, w) + vals.shape[1:]
+    img = np.full(img_shape, background, vals.dtype)
+    depth = np.zeros((h, w), np.float64)
+    img[yy[order], xx[order]] = cc[order]
+    depth[yy[order], xx[order]] = zz[order]
+    return img, depth
+
+
 def render_depth_map(
     coord: np.ndarray,
     k_matrix: np.ndarray,

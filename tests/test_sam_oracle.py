@@ -1,0 +1,170 @@
+"""Oracle-SAM tests: GT-instance mask synthesis with a SAM-like error
+model (ao_tpu/models/sam/oracle.py) and the PP2S oracle mode end to end.
+
+The oracle exists because this environment ships no SAM checkpoint: a
+random-weight SAM returns noise masks and the AO loop degenerates. The
+oracle must (a) return the exact instance mask for confident interior
+prompts, (b) return corrupted-but-related masks near boundaries, (c) be
+deterministic per prompt, and (d) drive PP2S to pseudo-labels in the
+reference's starting-quality regime (train_sam_final.py:539-548).
+"""
+
+import numpy as np
+import pytest
+
+from ao_tpu.models.sam.oracle import OracleSamPredictor, _clean_id_map
+
+
+def _two_instance_map(h=96, w=96):
+    """Left half = instance 3, right half = instance 7, 2px hole seam."""
+    m = np.full((h, w), -1, np.int32)
+    m[:, : w // 2 - 1] = 3
+    m[:, w // 2 + 1:] = 7
+    return m
+
+
+class TestOracleDecode:
+    def test_interior_prompt_exact_mask(self):
+        m = _two_instance_map()
+        o = OracleSamPredictor(quality=1.0, d0=12.0)
+        o.set_features(m, (96, 96))
+        # prompt deep inside instance 3 (row 48, col 20 -> u=21, v=49)
+        masks, iou, _ = o.predict(
+            np.array([[[21.0, 49.0]]]), np.array([[1]])
+        )
+        assert masks.shape == (1, 1, 96, 96)
+        # decode runs on the de-speckled map (holes majority-filled)
+        np.testing.assert_array_equal(masks[0, 0], _clean_id_map(m) == 3)
+        assert iou[0, 0] > 0.5
+
+    def test_boundary_prompt_corrupted(self):
+        m = _two_instance_map()
+        o = OracleSamPredictor(quality=0.0, d0=12.0)
+        o.set_features(m, (96, 96))
+        # prompt 3px from the seam: must NOT be the exact mask, but must
+        # still be related to instance 3 (partial subset or bleed union)
+        masks, _, _ = o.predict(
+            np.array([[[44.0, 49.0]]]), np.array([[1]])
+        )
+        got = masks[0, 0]
+        mc = _clean_id_map(m)
+        exact = mc == 3
+        union = (mc == 3) | (mc == 7)
+        assert not np.array_equal(got, exact)
+        is_partial = (got & ~exact).sum() == 0 and got.sum() > 0
+        is_bleed = np.array_equal(got, union)
+        assert is_partial or is_bleed
+
+    def test_deterministic_per_prompt(self):
+        m = _two_instance_map()
+        o = OracleSamPredictor(quality=0.5, d0=12.0)
+        o.set_features(m, (96, 96))
+        pts = np.array([[[44.0, 49.0]], [[21.0, 30.0]], [[70.0, 10.0]]])
+        lbl = np.ones((3, 1), np.int32)
+        m1, i1, _ = o.predict(pts, lbl)
+        m2, i2, _ = o.predict(pts, lbl)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_hole_prompt_snaps_to_nearest(self):
+        m = _two_instance_map()
+        o = OracleSamPredictor(quality=1.0, d0=4.0)
+        o.set_features(m, (96, 96))
+        # prompt exactly on the hole seam: snaps to an adjacent instance
+        masks, _, _ = o.predict(
+            np.array([[[48.0, 49.0]]]), np.array([[1]])
+        )
+        assert masks[0, 0].sum() > 0
+
+    def test_predict_batch_padding_empty(self):
+        m = _two_instance_map()
+        o = OracleSamPredictor(quality=1.0)
+        feats = np.stack([m, m])
+        pts = np.zeros((2, 4, 1, 2), np.float32)
+        pts[:, 0, 0] = [21.0, 49.0]
+        lbl = -np.ones((2, 4, 1), np.int32)
+        lbl[:, 0] = 1
+        masks, iou = o.predict_batch(feats, pts, lbl, (96, 96),
+                                     mask_index=0)
+        assert masks.shape == (2, 4, 1, 96, 96)
+        np.testing.assert_array_equal(masks[0, 0, 0], _clean_id_map(m) == 3)
+        assert not masks[:, 1:].any()
+        assert (iou[:, 1:] == 0).all()
+
+    def test_rejects_neural_features(self):
+        o = OracleSamPredictor()
+        with pytest.raises(AssertionError):
+            o.set_features(np.zeros((1, 64, 64, 256), np.float32), (512, 512))
+
+
+def _blocky_room(rng, n=6000, grid=3):
+    """Room of ``grid``^2 cuboid instances on a floor plane — instances
+    are spatially coherent so oracle masks are meaningful."""
+    cells = []
+    iid = 0
+    coords, insts = [], []
+    for gx in range(grid):
+        for gy in range(grid):
+            m = n // (grid * grid)
+            c = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+            c[:, 0] = (c[:, 0] * 0.9 + gx) * 1.5
+            c[:, 1] = (c[:, 1] * 0.9 + gy) * 1.5
+            c[:, 2] *= 1.2
+            coords.append(c)
+            insts.append(np.full(m, iid, np.int32))
+            iid += 1
+    coord = np.concatenate(coords)
+    instance = np.concatenate(insts)
+    segment = (instance % 5).astype(np.int64)
+    return coord, segment, instance
+
+
+@pytest.mark.slow
+def test_pp2s_oracle_end_to_end(tmp_path, rng):
+    """Full oracle PP2S over a synthetic room: rendered frames -> id-map
+    embeddings -> bridges -> weak labels -> oracle sam labels. Labels must
+    beat the weak-only floor by a wide margin and leave headroom below
+    perfect (the reference regime: starting quality ~0.3-0.5 mIoU, rising
+    under REAL refinement)."""
+    from ao_tpu.engines.label_eval import get_miou
+    from ao_tpu.pp2s.pipeline import PP2SPipeline
+
+    root = tmp_path / "data"
+    (root / "s3dis" / "Area_1").mkdir(parents=True)
+    coord, segment, instance = _blocky_room(rng)
+    color = rng.integers(0, 255, coord.shape).astype(np.float32)
+    np.savez(root / "s3dis" / "Area_1" / "office_1.npz",
+             coord=coord, color=color, semantic_gt=segment,
+             instance_gt=instance)
+
+    pipe = PP2SPipeline(data_root=str(root), areas=("Area_1",),
+                        num_classes=5, sam_oracle=True,
+                        oracle_quality=0.7)
+    pipe.run_render_frames(views=4, size=160, splat=1)
+    pipe.run_embeddings()
+    pipe.run_bridges()
+    pipe.run_weak_labels()
+    pipe.run_sam_labels(frame_size=(160, 160))
+
+    # id maps landed in the embedding cache
+    import glob
+    embs = glob.glob(str(root / "embeddings" / "Area_1" / "office_1" / "*.npz"))
+    assert embs
+    with np.load(embs[0]) as z:
+        assert z["features"].dtype == np.int32
+        assert z["features"].shape == (160, 160)
+
+    labels = np.load(root / "sam_labels" / "Area_1" / "office_1.npy")
+    labels = labels.reshape(-1)
+    covered = labels >= 0
+    # dense coverage (well beyond the 9 weak points; the ceiling — union
+    # of visible points of per-frame-prompted instances — is ~47% here,
+    # and bleed-conflict drops cost roughly half of it, as with real SAM)
+    assert covered.sum() > 0.12 * len(labels)
+    # ...and covered labels mostly correct (instances are semantically
+    # pure; corruption + conflict-drop keep it below perfect)
+    acc = (labels[covered] == segment[covered]).mean()
+    assert acc > 0.6
+    m = get_miou(str(root / "sam_labels"), str(root / "s3dis"),
+                 num_classes=5, areas=("Area_1",))
+    assert 0.08 < m["mIoU"] < 0.98, m

@@ -35,6 +35,12 @@ def main():
         help="frame pixel size for SAM prompt mapping (512 for the "
         "render_frames variant's synthetic views)",
     )
+    p.add_argument(
+        "--sam-oracle", action="store_true",
+        help="no-checkpoint mode: stage 1 rasterises GT instance-id maps "
+        "and stage 5 decodes oracle masks from them (models/sam/oracle.py)",
+    )
+    p.add_argument("--oracle-quality", type=float, default=0.7)
     args = p.parse_args()
     pipe = PP2SPipeline(
         data_root=args.data_root,
@@ -42,6 +48,8 @@ def main():
         sam_model_type=args.sam_model_type,
         areas=tuple(args.areas) if args.areas else
         ("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
+        sam_oracle=args.sam_oracle,
+        oracle_quality=args.oracle_quality,
     )
     fs = (args.frame_size, args.frame_size)
     if args.stage == "all":
