@@ -224,15 +224,18 @@ def _window_probe(query, key, qmask, kmask, k, tile_q, window, shift,
     d2 = jnp.where(s[:, :Nq] > _BIG / 2, _BIG, d2)
     # Map rows back to the original query order by inverse permutation
     # (a gather — cheaper and batch-friendly vs scatter). One packed
-    # gather for scores+ids: int32 bit patterns ride as f32 lanes, halving
-    # the row-bound unsort traffic.
+    # gather for scores+ids, in the INT32 domain: small int ids bitcast
+    # to f32 are denormals, which the TPU VPU flushes to zero (every id
+    # below ~2^23 would silently become 0 — a bug that cost a round-4
+    # training run 0.15 mIoU via zeroed unpool graphs). Score bit
+    # patterns ride as int32 lanes instead; integer moves are bit-exact.
     inv_q = jnp.argsort(order_q, axis=1)
     packed = jnp.concatenate(
-        [d2, lax.bitcast_convert_type(idx_orig, jnp.float32)], axis=-1
+        [lax.bitcast_convert_type(d2, jnp.int32), idx_orig], axis=-1
     )
     out = _take_rows(packed, inv_q)
-    out_d2 = out[..., :k]
-    out_idx = lax.bitcast_convert_type(out[..., k:], jnp.int32)
+    out_d2 = lax.bitcast_convert_type(out[..., :k], jnp.float32)
+    out_idx = out[..., k:]
     return out_d2, out_idx
 
 

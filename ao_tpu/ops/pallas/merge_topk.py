@@ -34,6 +34,10 @@ def _merge_kernel(d2_ref, idx_ref, out_d2_ref, out_idx_ref, *, k: int):
     # the min score AND a deterministic argmin column (lowest column on
     # ties). Score error from the truncation is <= 2^-17 relative —
     # far below the f32 distance noise of the window search itself.
+    # clamp to the smallest NORMAL float before bit-packing: a zero or
+    # denormal score (self-edge d2=0) would pack to a denormal, which the
+    # TPU VPU flushes to zero — corrupting the stolen argmin-column bits
+    s = jnp.maximum(s, jnp.float32(np.finfo(np.float32).tiny))
     sbits = lax.bitcast_convert_type(s, jnp.int32)
     packed = lax.bitcast_convert_type(
         (sbits & jnp.int32(~63)) | col, jnp.float32

@@ -16,7 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# AO_TEST_TPU=1 keeps the real backend so the on-chip tier
+# (tests/test_tpu_numerics.py) can run: pytest is CPU-pinned by default.
+if os.environ.get("AO_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the tier is dominated by XLA CPU compiles of
 # the backbone smoke models; repeat runs (the common case) hit the cache.
 jax.config.update(
@@ -31,6 +34,8 @@ import pytest
 
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_mesh():
+    if os.environ.get("AO_TEST_TPU") == "1":
+        return
     assert jax.devices()[0].platform == "cpu"
     assert jax.device_count() == 8
 
