@@ -40,7 +40,6 @@ from typing import Dict
 
 import jax
 import numpy as np
-from scipy import stats
 
 from ao_tpu.pp2s.labels import load_basket
 from ao_tpu.utils import comm
@@ -147,6 +146,7 @@ def vote_masks_for_frame(
         return
     u = bridge[vis_idx, 0].astype(np.int64) - 1
     v = bridge[vis_idx, 1].astype(np.int64) - 1
+    n_cls = vote.shape[1]
     for pi in range(masks.shape[0]):
         inside = masks[pi, v, u]
         members = vis_idx[inside]
@@ -156,7 +156,11 @@ def vote_masks_for_frame(
         high = conf_m > conf_thresh
         if high.sum() == 0:
             continue
-        mode_cls = stats.mode(seg_pred[members][high], keepdims=False)[0]
+        # plurality class of the high-confidence members (bincount argmax
+        # == scipy.stats.mode incl. smallest-on-ties, far cheaper)
+        mode_cls = np.argmax(
+            np.bincount(seg_pred[members][high], minlength=n_cls)
+        )
         if mode_cls == prompt_cls[pi]:
             vote[members, prompt_cls[pi]] += 1
 

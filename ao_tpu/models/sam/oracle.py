@@ -131,22 +131,30 @@ class OracleSamPredictor:
             feats = feats[None]
         pts = np.asarray(point_coords, np.float32)
         lbl = np.asarray(point_labels)
-        out_m, out_i = [], []
+        F, P = pts.shape[:2]
+        h, w = feats.shape[-2:]
+        # fill in place: np.stack of (P, H, W) bool frames is a huge copy
+        out_m = np.zeros((F, P, 1, h, w), bool)
+        out_i = np.zeros((F, P, 1), np.float32)
         for f in range(feats.shape[0]):
             m = _clean_id_map(np.squeeze(feats[f]).astype(np.int64))
-            masks, iou = self._decode_frame(m, pts[f, :, 0, :])
-            # padding prompts (label -1) decode to empty masks
-            pad = lbl[f, :, 0] < 0
-            masks[pad] = False
-            iou[pad] = 0.0
-            out_m.append(masks[:, None])
-            out_i.append(iou[:, None])
-        return np.stack(out_m), np.stack(out_i)
+            live = lbl[f, :, 0] >= 0  # label -1 = padding prompt
+            masks, iou = self._decode_frame(
+                m, pts[f, :, 0, :], live=live
+            )
+            out_m[f, :, 0] = masks
+            out_i[f, :, 0] = iou
+        return out_m, out_i
 
     # -- decode ----------------------------------------------------------
-    def _decode_frame(self, id_map: np.ndarray, pts: np.ndarray):
+    def _decode_frame(self, id_map: np.ndarray, pts: np.ndarray, live=None):
         """id_map (H, W), pts (P, 2) original-resolution (x, y) ->
-        (masks (P, H, W) bool, iou (P,) f32)."""
+        (masks (P, H, W) bool, iou (P,) f32). ``live`` masks padding
+        prompts (skipped, empty output).
+
+        Per-frame caches make the prompt loop cheap: the exact instance
+        masks (shared by every prompt on the same instance) and the
+        (yy, xx) coordinate grid for half-plane cuts are computed once."""
         h, w = id_map.shape
         P = pts.shape[0]
         masks = np.zeros((P, h, w), bool)
@@ -155,9 +163,23 @@ class OracleSamPredictor:
         # train_real.py index convention), so the prompt lands there too
         rows = np.clip(np.round(pts[:, 1]).astype(np.int64) - 1, 0, h - 1)
         cols = np.clip(np.round(pts[:, 0]).astype(np.int64) - 1, 0, w - 1)
+        cache = {"inst": {}, "grid": np.mgrid[0:h, 0:w]}
         for p in range(P):
-            masks[p], ious[p] = self._one_mask(id_map, rows[p], cols[p])
+            if live is not None and not live[p]:
+                continue
+            masks[p], ious[p] = self._one_mask(
+                id_map, rows[p], cols[p], cache=cache
+            )
         return masks, ious
+
+    @staticmethod
+    def _inst_mask(id_map, iid, cache):
+        if cache is None:
+            return id_map == iid
+        m = cache["inst"].get(iid)
+        if m is None:
+            m = cache["inst"][iid] = id_map == iid
+        return m
 
     _N_RING = 16
     _RING_TOL = 0.3  # boundary only when >30% of painted samples disagree
@@ -187,7 +209,7 @@ class OracleSamPredictor:
                 other = int(diff[0])
         return float(_RINGS[-1]), other
 
-    def _one_mask(self, id_map, row, col, _search: int = 3):
+    def _one_mask(self, id_map, row, col, _search: int = 3, cache=None):
         iid = int(id_map[row, col])
         if iid < 0:
             # prompt on a hole: snap to the nearest painted pixel, like a
@@ -199,7 +221,7 @@ class OracleSamPredictor:
             if cand.size == 0:
                 return np.zeros_like(id_map, bool), 0.0
             iid = int(cand[0])
-        mask = id_map == iid
+        mask = self._inst_mask(id_map, iid, cache)
         d, neighbour = self._probe(id_map, row, col, iid)
         # interiorness RELATIVE to the instance's apparent size: a real
         # SAM segments an object from any interior prompt regardless of
@@ -214,14 +236,14 @@ class OracleSamPredictor:
             return mask, iou
         if neighbour >= 0 and rng.random() < 0.5:
             # BLEED: merge with the adjacent instance
-            return mask | (id_map == neighbour), iou
+            return mask | self._inst_mask(id_map, neighbour, cache), iou
         # PARTIAL: cut by a half-plane through a point offset from the
         # prompt along a deterministic-random normal
         h, w = id_map.shape
         theta = rng.uniform(0, 2 * np.pi)
         n = np.array([np.cos(theta), np.sin(theta)])
         off = rng.uniform(2.0, max(3.0, d + 2.0))
-        yy, xx = np.mgrid[0:h, 0:w]
+        yy, xx = cache["grid"] if cache else np.mgrid[0:h, 0:w]
         side = (yy - (row + off * n[0])) * n[0] + (
             xx - (col + off * n[1])
         ) * n[1] <= 0
