@@ -79,12 +79,18 @@ def _slab_geometry(C, N, S):
     # stack (ao_tpu/__init__.py raises the scoped limit to 24M); TQ
     # shrinks with C to fit, J (input streams) sized for W=512 curve rows
     # each side — except C=384 where W=256 keeps the stream count at 17.
+    # AO_SLAB_W overrides the half-window (rounded down to a TQ multiple,
+    # min 1 block) for recall/throughput sweeps.
     if C <= 96:
         TQ, J = 128, 9
     elif C <= 192:
         TQ, J = 64, 17
     else:
         TQ, J = 32, 17
+    w_env = os.environ.get("AO_SLAB_W")
+    if w_env:
+        blocks = max(int(w_env) // TQ, 1)
+        J = 2 * blocks + 1
     W = (J - 1) // 2 * TQ
     # kNN windows sit inside every covering kernel slab; tile_q chosen so
     # window is a 128-multiple (Pallas kNN path needs lane alignment)

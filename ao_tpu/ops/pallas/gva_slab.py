@@ -38,7 +38,6 @@ from jax.experimental import pallas as pl
 from .gva_fused import (
     _EPS,
     _N_PAR_MAIN,
-    _N_PAR_STATS,
     _expand_valid,
     _fold_pe,
     _fold_pe_running,
@@ -281,11 +280,39 @@ def _fwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     out_ref[0] = (_mtm(env["M"], contrib) * env["mrow"]).astype(out_ref.dtype)
 
 
+def _mtm_mom(a, b):  # a.T @ b in bf16 (stat-moment accumulations)
+    return lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+
+# lane width of the per-row/per-query stat-moment outputs ([valid | t])
+_MOM_W = 128
+
+
 def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
                 bp2_ref, W1f_ref, b1f_ref, W2_ref, b2_ref, dout_ref,
                 *slab_then_out, C, S, G, TQ, J, lanes=None):
-    slab_refs = slab_then_out[:-3]
-    dkv_ref, dq_ref, dpar_ref = slab_then_out[-3:]
+    """Main backward + BN-stat correction MOMENTS in one pass.
+
+    The stat-correction backward applies dt1 = (c0 + t1*c1)*valid per
+    edge, where (c0, c1) are per-group scalars known only after this
+    kernel's own global parameter sums (they chain through dW1f/db1f).
+    Rather than a second gather+scatter pass (the round-3 design,
+    ~25% of the backward's gather traffic), this kernel also emits the
+    moments the correction is LINEAR in — per-edge weights are only
+    ``valid`` and ``t`` — and the host applies (a0, a1) afterwards:
+
+      * dmom tiles: scatter of [valid | t] per neighbour row -> the
+        rows' correction dk = (a0*V0 + a1*VT) @ W1^T
+      * dqmom: per-query sums M^T [valid | t] -> dq correction
+      * dmom_par: (1+G, 6C) accumulator of valid- and t-weighted sums
+        of [r | pe1 | relu-mask u | vec(pos x u)] -> the dW1/dWp2/dA/
+        dcA corrections (see _bwd_vjp)."""
+    slab_refs = slab_then_out[:-6]
+    (dkv_ref, dq_ref, dpar_ref, dmom_ref, dqmom_ref,
+     dmom_par_ref) = slab_then_out[-6:]
     b = pl.program_id(0)
     t = pl.program_id(1)
     env = _env_from_slab(
@@ -326,9 +353,31 @@ def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
     _scatter_rows(delta, env["idxc"], t, TQ, S, J, dkv_ref)
     dq_ref[0] = (-_mtm(M, dr)).astype(dq_ref.dtype)
 
+    # --- stat-correction moments ---
+    tv = jnp.concatenate([valid, env["t"]], axis=1)  # (TQ*S, 1+G)
+    tv_pad = jnp.concatenate(
+        [tv, jnp.zeros((TQ * S, _MOM_W - 1 - G), jnp.float32)], axis=1
+    )
+    _scatter_rows(tv_pad, env["idxc"], t, TQ, S, J, dmom_ref)
+    dqmom_ref[0] = _pad_lanes(_mtm(M, tv), _MOM_W)
+    # relu gate of the pe MLP (per _peb_bwd's dpe0 = gate * dpe1 * valid)
+    ug = jnp.where(env["pe0"] > 0, 1.0, 0.0) * valid
+    # vec(pos x u) as [x*u | y*u | z*u] lane blocks (Mosaic cannot lower
+    # a (TQ*S, 3, C) -> (TQ*S, 3C) vector reshape)
+    posu = jnp.concatenate(
+        [env["pos"][:, i : i + 1] * ug for i in range(3)], axis=1
+    )
+
     @pl.when((b == 0) & (t == 0))
     def _():
         dpar_ref[...] = jnp.zeros_like(dpar_ref)
+        dmom_par_ref[...] = jnp.zeros_like(dmom_par_ref)
+
+    off = 0
+    for part in (env["r"], env["pe1"], ug, posu):
+        wdt = part.shape[1]
+        dmom_par_ref[:, off:off + wdt] += _mtm_mom(tv, part)
+        off += wdt
 
     Wd = dpar_ref.shape[1]
     dpar_ref[...] += jnp.concatenate(
@@ -337,58 +386,6 @@ def _bwd_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
             _pad_lanes(jnp.sum(dt, axis=0, keepdims=True), Wd),
             _pad_lanes(_mtm(u, dw), Wd),
             _pad_lanes(jnp.sum(dw, axis=0, keepdims=True), Wd),
-            _pad_lanes(dWp2, Wd),
-            _pad_lanes(dbp2, Wd),
-            _pad_lanes(dA, Wd),
-            _pad_lanes(dcA, Wd),
-        ],
-        axis=0,
-    )
-
-
-def _bwd_stats_kernel(idx_ref, qrow_ref, valid_ref, A_ref, cA_ref, Wp2_ref,
-                      bp2_ref, W1_ref, b1_ref, coef_ref, *slab_then_out,
-                      C, S, G, TQ, J, pos_off, aliased):
-    """BN-stat correction backward. ``aliased`` (legacy/unsplit): two extra
-    leading inputs carry the main-bwd dkv/dq to accumulate into (full-width
-    rows and outputs). Narrow (split) mode: gathers and scatters only the
-    KW-lane k|pos block; the caller adds the outputs in XLA."""
-    if aliased:
-        dkv_in_ref, dq_in_ref = slab_then_out[:2]
-        slab_then_out = slab_then_out[2:]
-    slab_refs = slab_then_out[:-3]
-    dkv_ref, dq_ref, dpar_ref = slab_then_out[-3:]
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    env = _env_from_slab(
-        slab_refs, idx_ref, qrow_ref, valid_ref, A_ref[...], cA_ref[...],
-        Wp2_ref[...], bp2_ref[...], W1_ref[...], b1_ref[...], t,
-        C=C, S=S, TQ=TQ, J=J, lanes=(None, pos_off),
-    )
-    valid, M = env["valid"], env["M"]
-    c0 = coef_ref[0:1, :G]
-    c1 = coef_ref[1:2, :G]
-    dt1 = (c0 + env["t"] * c1) * valid
-    dr = _mmt_bf16(dt1, W1_ref[...])
-    dpe0, dWp2, dbp2, dA, dcA = _peb_bwd(env, dr, Wp2_ref[...])
-
-    rw = dkv_ref.shape[-1]
-    pad = jnp.zeros((TQ * S, rw - C), jnp.float32)
-    delta = jnp.concatenate([dr, pad], axis=1)
-    _scatter_rows(delta, env["idxc"], t, TQ, S, J, dkv_ref,
-                  add_in_ref=dkv_in_ref if aliased else None)
-    dq2 = -_mtm(M, dr)
-    dq_ref[0] = (dq_in_ref[0] + dq2) if aliased else dq2.astype(dq_ref.dtype)
-
-    @pl.when((b == 0) & (t == 0))
-    def _():
-        dpar_ref[...] = jnp.zeros_like(dpar_ref)
-
-    Wd = dpar_ref.shape[1]
-    dpar_ref[...] += jnp.concatenate(
-        [
-            _pad_lanes(_mtm(env["r"], dt1), Wd),
-            _pad_lanes(jnp.sum(dt1, axis=0, keepdims=True), Wd),
             _pad_lanes(dWp2, Wd),
             _pad_lanes(dbp2, Wd),
             _pad_lanes(dA, Wd),
@@ -601,20 +598,32 @@ def _bwd_vjp(N, S, C, G, TQ, J, interpret, res, cts):
     W1f, b1f, sw, inv_w = _fold_w(W1, b1, gw, bw, mu_w, var_w)
 
     rows = _N_PAR_MAIN(C, G)
-    dkv_t, dq, dpar = _run(
+    XW = -(-6 * C // 128) * 128
+    mom_tiles_spec = pl.BlockSpec(
+        (1, 1, J, TQ, _MOM_W), lambda b, t: (b, t, 0, 0, 0)
+    )
+    mom_q_spec = pl.BlockSpec((1, TQ, _MOM_W), lambda b, t: (b, t, 0))
+    dkv_t, dq, dpar, dmom_t, dqmom, dmom_par = _run(
         _bwd_kernel, grid,
         [idx_s, qrow_s, vspec, const(A.shape), const((1, C)),
          const(Wp2.shape), const((1, C)), const(W1f.shape), const((1, G)),
          const(W2.shape), const((1, G)), outn] + slabs,
-        [dkv_tiles_spec, outn, pl.BlockSpec((rows, PW), lambda b, t: (0, 0))],
+        [dkv_tiles_spec, outn, pl.BlockSpec((rows, PW), lambda b, t: (0, 0)),
+         mom_tiles_spec, mom_q_spec,
+         pl.BlockSpec((1 + G, XW), lambda b, t: (0, 0))],
         [jax.ShapeDtypeStruct((B, T, J, TQ, rw), jnp.bfloat16),
          jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
-         jax.ShapeDtypeStruct((rows, PW), jnp.float32)],
+         jax.ShapeDtypeStruct((rows, PW), jnp.float32),
+         jax.ShapeDtypeStruct((B, T, J, TQ, _MOM_W), jnp.bfloat16),
+         jax.ShapeDtypeStruct((B, T * TQ, _MOM_W), jnp.float32),
+         jax.ShapeDtypeStruct((1 + G, XW), jnp.float32)],
         (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1f, b1f[None], W2,
          b2[None], dout) + (kv_pad,) * J,
         interpret, C=C, S=S, G=G, TQ=TQ, J=J, lanes=lay["lanes"],
     )
-    dkv_t, dq, dpar = lax.optimization_barrier((dkv_t, dq, dpar))
+    dkv_t, dq, dpar, dmom_t, dqmom, dmom_par = lax.optimization_barrier(
+        (dkv_t, dq, dpar, dmom_t, dqmom, dmom_par)
+    )
     r0 = 0
     dW1f = dpar[r0:r0 + C, :G]; r0 += C                      # noqa: E702
     db1f = dpar[r0, :G]; r0 += 1                             # noqa: E702
@@ -636,61 +645,49 @@ def _bwd_vjp(N, S, C, G, TQ, J, interpret, res, cts):
     d_var = d_inv * (-0.5) * inv_w ** 3 + d_var_in
     d_S1 = d_mu / n + d_var * (-2.0 * mu_w) / n
     d_S2 = d_var / n
-    coef = jnp.concatenate([d_S1[None], 2.0 * d_S2[None]], axis=0)
-    coef = jnp.concatenate(
-        [coef, jnp.zeros((2, _stats_w(C, G) - G), coef.dtype)], axis=1
-    )
+    c0 = d_S1
+    c1 = 2.0 * d_S2
 
-    rows2 = _N_PAR_STATS(C)
-    if lay["split"]:
-        # narrow pass: gather and scatter only the KW-lane k|pos block,
-        # combine with the main backward's tiles in XLA
-        KW = lay["KW"]
-        slabs_n = _slab_specs(TQ, KW, J)
-        dkv_n_spec = pl.BlockSpec((1, 1, J, TQ, KW),
-                                  lambda b, t: (b, t, 0, 0, 0))
-        dkv2_t, dq2, dpar2 = _run(
-            _bwd_stats_kernel, grid,
-            [idx_s, qrow_s, vspec, const(A.shape), const((1, C)),
-             const(Wp2.shape), const((1, C)), const(W1.shape),
-             const((1, G)), const(coef.shape)] + slabs_n,
-            [dkv_n_spec, outn,
-             pl.BlockSpec((rows2, PW), lambda b, t: (0, 0))],
-            [jax.ShapeDtypeStruct((B, T, J, TQ, KW), jnp.bfloat16),
-             jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
-             jax.ShapeDtypeStruct((rows2, PW), jnp.float32)],
-            (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None],
-             coef) + (kv_pad,) * J,
-            interpret, C=C, S=S, G=G, TQ=TQ, J=J, pos_off=lay["pos_off"],
-            aliased=False,
-        )
-        dkv2_t, dq2, dpar2 = lax.optimization_barrier((dkv2_t, dq2, dpar2))
-        dkv_t = dkv_t.at[..., :KW].add(dkv2_t)
-        dq = dq + dq2
-    else:
-        dkv_t, dq, dpar2 = _run(
-            _bwd_stats_kernel, grid,
-            [idx_s, qrow_s, vspec, const(A.shape), const((1, C)),
-             const(Wp2.shape), const((1, C)), const(W1.shape),
-             const((1, G)), const(coef.shape), dkv_tiles_spec, outn] + slabs,
-            [dkv_tiles_spec, outn,
-             pl.BlockSpec((rows2, PW), lambda b, t: (0, 0))],
-            [jax.ShapeDtypeStruct((B, T, J, TQ, rw), jnp.bfloat16),
-             jax.ShapeDtypeStruct((B, T * TQ, C), jnp.float32),
-             jax.ShapeDtypeStruct((rows2, PW), jnp.float32)],
-            (idxp, qrow, valid, A, cA[None], Wp2, bp2[None], W1, b1[None],
-             coef, dkv_t, dq) + (kv_pad,) * J,
-            interpret, io_aliases={10: 0, 11: 1}, C=C, S=S, G=G, TQ=TQ, J=J,
-            pos_off=lay["pos_off"], aliased=True,
-        )
-        dkv_t, dq, dpar2 = lax.optimization_barrier((dkv_t, dq, dpar2))
-    r0 = 0
-    dW1 = dW1 + dpar2[r0:r0 + C, :G]; r0 += C                # noqa: E702
-    db1 = db1 + dpar2[r0, :G]; r0 += 1                       # noqa: E702
-    dWp2 = dWp2 + dpar2[r0:r0 + C, :C]; r0 += C              # noqa: E702
-    dbp2 = dbp2 + dpar2[r0, :C]; r0 += 1                     # noqa: E702
-    dA = dA + dpar2[r0:r0 + 3, :C]; r0 += 3                  # noqa: E702
-    dcA = dcA + dpar2[r0, :C]
+    # --- apply the stat-correction analytically from the moments ---
+    # pass-2 semantics: dt1 = (c0 + t1*c1)*valid with t1 the UNFOLDED
+    # stats-path activation. env["t"] is the folded one: t1*valid =
+    # (t - cw*valid)/sw, so dt1 = a0*valid + a1*t with
+    cw = b1f - b1 * sw
+    a0 = c0 - c1 * cw / sw
+    a1 = c1 / sw
+    # per-row dk correction: (a0*V0 + a1*VT) @ W1^T — the correction's
+    # dr1 = dt1 @ W1^T uses the UNFOLDED W1, matching the stats pass
+    W = (J - 1) // 2 * TQ
+    Np = T * TQ
+    mom_rows = overlap_add(
+        dmom_t.astype(jnp.float32), Np, TQ, J
+    )  # (B, Np, MOM_W) at pad offset W
+    V0 = mom_rows[..., 0:1]
+    VT = mom_rows[..., 1:1 + G]
+    dk_corr = _mm((a0[None, None] * V0 + a1[None, None] * VT
+                   ).reshape(B * Np, G), W1.T).reshape(B, Np, C)
+    # per-query dq correction: -(a0*Q0 + a1*QT) @ W1^T
+    Q0 = dqmom[..., 0:1]
+    QT = dqmom[..., 1:1 + G]
+    dq = dq - _mm((a0[None, None] * Q0 + a1[None, None] * QT
+                   ).reshape(B * Np, G), W1.T).reshape(B, Np, C)
+    # parameter corrections. dmom_par rows: 0 = valid-weighted,
+    # 1..G = t-weighted; cols [r | pe1 | u | vec(pos x u)]
+    Rv, RT = dmom_par[0, :C], dmom_par[1:, :C].T            # (C,), (C, G)
+    Pv, PT = dmom_par[0, C:2 * C], dmom_par[1:, C:2 * C].T
+    Uv, UT = dmom_par[0, 2 * C:3 * C], dmom_par[1:, 2 * C:3 * C].T
+    Av = dmom_par[0, 3 * C:6 * C].reshape(3, C)
+    AT = dmom_par[1:, 3 * C:6 * C].reshape(G, 3, C)
+    dW1 = dW1 + Rv[:, None] * a0[None, :] + RT * a1[None, :]
+    dsum1 = a0 * n + a1 * (sw * mu_w * n + cw * n)  # sum_e dt1 per group
+    db1 = db1 + dsum1
+    dWp2 = dWp2 + (Pv[:, None] * a0[None, :] + PT * a1[None, :]) @ W1.T
+    dbp2 = dbp2 + dsum1 @ W1.T
+    Kc = Wp2 @ W1  # (C, G): dpe1 = dt1 @ (Wp2 W1)^T
+    dcA = dcA + Uv * (Kc @ a0) + (UT * Kc) @ a1
+    dA = dA + Av * (Kc @ a0)[None, :] + jnp.einsum(
+        "g,gxc,cg->xc", a1, AT, Kc
+    )
 
     inv_p = lax.rsqrt(var_p + _EPS)
     s_p = gp * inv_p
@@ -707,9 +704,8 @@ def _bwd_vjp(N, S, C, G, TQ, J, interpret, res, cts):
 
     # tile-slab grads -> padded row grads (J shifted streaming adds),
     # back in the (B, T+J-1, TQ, rw) layout of kv_pad
-    W = (J - 1) // 2 * TQ
-    Np = T * TQ
     dkv_rows = overlap_add(dkv_t, Np, TQ, J)  # (B, Np, rw) at pad offset W
+    dkv_rows = dkv_rows.at[..., :C].add(dk_corr.astype(dkv_rows.dtype))
     dkv_pad = jnp.pad(dkv_rows, ((0, 0), (W, W), (0, 0))).reshape(
         B, TJ, TQ, rw
     )

@@ -1,11 +1,13 @@
 # AO-loop proxy stage C: REAL SAM-in-the-loop refinement on the proxy
 # rooms, starting from the PP2S-trained model and the pipeline artifacts
 # under data/ao_proxy (reference: train_sam_real.py:222-582 over real
-# S3DIS; here the frames are the 512^2 rendered views).
+# S3DIS; here the frames are the 512^2 rendered views and the masks come
+# from the oracle SAM — models/sam/oracle.py — since this environment
+# ships no SAM checkpoint).
 _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 
-weight = "exp/s3dis/proxy-r3-pp2s/model/model_best.ckpt"
-save_path = "exp/s3dis/proxy-r3-real"
+weight = "exp/s3dis/proxy-r4-pp2s/model/model_best.ckpt"
+save_path = "exp/s3dis/proxy-r4-real"
 
 # refinement runs after every epoch -> 8 sam_label/* curve points
 epoch = 8
@@ -17,8 +19,8 @@ real = dict(
     data_root="data/ao_proxy/s3dis",
     bridge_root="data/ao_proxy/bridge",
     embedding_root="data/ao_proxy/embeddings",
-    sam_checkpoint=None,
-    sam_model_type="tiny",
+    sam_oracle=True,
+    oracle_quality=0.85,
     frame_size=(512, 512),
     grid_scale=0.5,
     conf_thresh=0.9,
