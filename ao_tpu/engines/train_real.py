@@ -165,6 +165,130 @@ def vote_masks_for_frame(
             vote[members, prompt_cls[pi]] += 1
 
 
+def _refine_one_scene(args):
+    """Refine ONE scene's labels (reference train_sam_real.py:314-520):
+    prompt mining -> batched SAM decode -> vote/verify -> label rewrite.
+    Module-level and self-contained so the oracle path can fan scenes out
+    over a process pool (each scene owns its label file). Returns
+    (count_updated, prompt_accuracy)."""
+    cfg, predictor, scene_key, seg_logit = args
+    from scipy.special import softmax
+
+    from ao_tpu.datasets.defaults import load_scene
+
+    area, room = scene_key.split("/") if "/" in scene_key else (
+        scene_key.split("_")[0] + "_" + scene_key.split("_")[1],
+        "_".join(scene_key.split("_")[2:]),
+    )
+    label_path = os.path.join(cfg["labels_dir"], area, room + ".npy")
+    if not os.path.isfile(label_path):
+        return 0, 0.0
+    sam_label = np.load(label_path).reshape(-1)
+
+    seg_pred = np.argmax(seg_logit, axis=1)
+    seg_pred[seg_logit[:, 0] == -100] = -1
+    probs = softmax(seg_logit, axis=1)
+    top_two = np.sort(probs, axis=1)[:, -2:]
+    confidence = top_two[:, 1] - top_two[:, 0]
+
+    scene = None
+    for ext in (".pth", ".npz"):
+        p = os.path.join(cfg["data_root"], area, room + ext)
+        if os.path.isfile(p):
+            scene = load_scene(p)
+            break
+    if scene is None:
+        return 0, 0.0
+    coord = np.asarray(scene["coord"], np.float32)
+    gt = np.asarray(scene["semantic_gt"], np.int64).reshape(-1)
+    classes_present = np.unique(gt[gt >= 0])
+
+    if cfg["prompt_search"] == "radius":
+        prompt_idx, prompt_cls = radius_prompt_search(
+            coord, seg_pred, confidence, sam_label, classes_present,
+            cfg["radius_scale"], cfg["conf_thresh"],
+        )
+    elif cfg["prompt_search"] == "grid_query_abl":
+        prompt_idx, prompt_cls = grid_prompt_search(
+            coord, seg_pred, confidence, sam_label, classes_present,
+            grid_scale=cfg["grid_scale"], conf_thresh=cfg["conf_thresh"],
+            require_disagreement=False,
+        )
+    else:
+        prompt_idx, prompt_cls = grid_prompt_search(
+            coord, seg_pred, confidence, sam_label, classes_present,
+            cfg["grid_scale"], cfg["conf_thresh"],
+        )
+    if prompt_idx.size == 0:
+        return 0, 0.0
+    prompt_acc = (gt[prompt_idx] == prompt_cls).sum() / prompt_idx.size
+
+    vote = np.zeros((coord.shape[0], cfg["num_classes"]), np.int32)
+    updated = False
+    bridge_paths = sorted(
+        glob.glob(os.path.join(cfg["bridge_root"], area, room, "*.npy"))
+    )
+    # Stage 1: collect every frame's visible prompts (host-only).
+    tasks = []  # (emb_path, bridge, pts (k, 2), cls (k,))
+    for bridge_path in bridge_paths:
+        frame = os.path.splitext(os.path.basename(bridge_path))[0]
+        emb_path = None
+        for ext in (".npz", ".pth"):
+            p = os.path.join(cfg["embedding_root"], area, room, frame + ext)
+            if os.path.isfile(p):
+                emb_path = p
+                break
+        if emb_path is None:
+            continue
+        bridge = np.load(bridge_path)
+        visible = bridge[:, 2] == 1
+        prompt_visible = visible[prompt_idx]
+        if prompt_visible.sum() == 0:
+            continue
+        pts = bridge[prompt_idx[prompt_visible], :2].astype(np.float32)
+        tasks.append((emb_path, bridge, pts, prompt_cls[prompt_visible]))
+
+    # Stage 2: SAM decodes batched ACROSS frames (SURVEY hard-part #5;
+    # the reference runs set_features + predict per frame,
+    # train_sam_real.py:402-450). Prompt counts pad to power-of-2
+    # buckets so the decoder jit-caches a few shapes.
+    FG = cfg["sam_frame_batch"]
+    for i0 in range(0, len(tasks), FG):
+        group = tasks[i0: i0 + FG]
+        updated = True
+        pmax = max(len(t[2]) for t in group)
+        pmax = max(8, 1 << (pmax - 1).bit_length())
+        F = len(group)
+        embs = np.stack(
+            [RealTrainer._frame_embedding(t[0]) for t in group]
+        )
+        pts = np.zeros((F, pmax, 1, 2), np.float32)
+        lbl = -np.ones((F, pmax, 1), np.int32)  # -1 = padding prompt
+        for f, (_, _, p, _) in enumerate(group):
+            pts[f, : len(p), 0] = p
+            lbl[f, : len(p)] = 1
+        masks, _ = predictor.predict_batch(
+            embs, pts, lbl, tuple(cfg["frame_size"]), mask_index=0
+        )
+        for f, (_, bridge, p, cls) in enumerate(group):
+            vote_masks_for_frame(
+                masks[f, : len(p), 0], cls, bridge, seg_pred,
+                confidence, vote, cfg["conf_thresh"],
+            )
+
+    count_updated = 0
+    if updated:
+        sam_result = np.argmax(vote, axis=1)
+        sam_result[vote.sum(1) == 0] = -1
+        reject = (sam_result != seg_pred) | (seg_pred == -1)
+        sam_result[reject] = -1
+        valid = sam_result != -1
+        count_updated = int((sam_label[valid] != sam_result[valid]).sum())
+        sam_label[valid] = sam_result[valid]
+        np.save(label_path, sam_label.reshape(-1, 1))
+    return count_updated, float(prompt_acc)
+
+
 class RealTrainer(Trainer):
     """Trainer with per-epoch SAM label refinement."""
 
@@ -315,126 +439,55 @@ class RealTrainer(Trainer):
         comm.synchronize()
         self.basket = load_basket(self.basket_path)
 
+    def _refine_cfg(self) -> dict:
+        return dict(
+            labels_dir=self.labels_dir,
+            data_root=self.data_root,
+            bridge_root=self.bridge_root,
+            embedding_root=self.embedding_root,
+            frame_size=self.frame_size,
+            grid_scale=self.grid_scale,
+            prompt_search=self.prompt_search,
+            conf_thresh=self.conf_thresh,
+            radius_scale=self.radius_scale,
+            sam_frame_batch=self.sam_frame_batch,
+            num_classes=self.num_classes,
+        )
+
     def refine_labels(self, basket: Dict[str, np.ndarray]):
-        from scipy.special import softmax
-
-        from ao_tpu.datasets.defaults import load_scene
-
+        cfg = self._refine_cfg()
+        predictor = self.predictor
         count_updated = 0
         prompt_accuracy_all = 0.0
         n_scenes = max(len(basket), 1)
-        for scene_key, seg_logit in basket.items():
-            area, room = scene_key.split("/") if "/" in scene_key else (
-                scene_key.split("_")[0] + "_" + scene_key.split("_")[1],
-                "_".join(scene_key.split("_")[2:]),
-            )
-            label_path = os.path.join(self.labels_dir, area, room + ".npy")
-            if not os.path.isfile(label_path):
-                continue
-            sam_label = np.load(label_path).reshape(-1)
+        # The oracle predictor is stateless and picklable — refine scenes
+        # in a fork pool (each scene touches only its own label file).
+        # The neural predictor owns jitted TPU state: stay in-process.
+        workers = int(self.real_cfg.get(
+            "refine_workers", min(8, os.cpu_count() or 1)
+        ))
+        from ao_tpu.models.sam.oracle import OracleSamPredictor
 
-            seg_pred = np.argmax(seg_logit, axis=1)
-            seg_pred[seg_logit[:, 0] == -100] = -1
-            probs = softmax(seg_logit, axis=1)
-            top_two = np.sort(probs, axis=1)[:, -2:]
-            confidence = top_two[:, 1] - top_two[:, 0]
+        if workers > 1 and isinstance(predictor, OracleSamPredictor):
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
 
-            scene = None
-            for ext in (".pth", ".npz"):
-                p = os.path.join(self.data_root, area, room + ext)
-                if os.path.isfile(p):
-                    scene = load_scene(p)
-                    break
-            if scene is None:
-                continue
-            coord = np.asarray(scene["coord"], np.float32)
-            gt = np.asarray(scene["semantic_gt"], np.int64).reshape(-1)
-            classes_present = np.unique(gt[gt >= 0])
-
-            if self.prompt_search == "radius":
-                prompt_idx, prompt_cls = radius_prompt_search(
-                    coord, seg_pred, confidence, sam_label, classes_present,
-                    self.radius_scale, self.conf_thresh,
-                )
-            elif self.prompt_search == "grid_query_abl":
-                prompt_idx, prompt_cls = grid_prompt_search(
-                    coord, seg_pred, confidence, sam_label,
-                    classes_present,
-                    grid_scale=self.grid_scale,
-                    conf_thresh=self.conf_thresh,
-                    require_disagreement=False,
-                )
-            else:
-                prompt_idx, prompt_cls = grid_prompt_search(
-                    coord, seg_pred, confidence, sam_label, classes_present,
-                    self.grid_scale, self.conf_thresh,
-                )
-            if prompt_idx.size == 0:
-                continue
-            prompt_accuracy_all += (
-                (gt[prompt_idx] == prompt_cls).sum() / prompt_idx.size
-            )
-
-            vote = np.zeros((coord.shape[0], self.num_classes), np.int32)
-            updated = False
-            bridge_paths = sorted(
-                glob.glob(os.path.join(self.bridge_root, area, room, "*.npy"))
-            )
-            # Stage 1: collect every frame's visible prompts (host-only).
-            tasks = []  # (emb_path, bridge, pts (k, 2), cls (k,))
-            for bridge_path in bridge_paths:
-                frame = os.path.splitext(os.path.basename(bridge_path))[0]
-                emb_path = None
-                for ext in (".npz", ".pth"):
-                    p = os.path.join(self.embedding_root, area, room, frame + ext)
-                    if os.path.isfile(p):
-                        emb_path = p
-                        break
-                if emb_path is None:
-                    continue
-                bridge = np.load(bridge_path)
-                visible = bridge[:, 2] == 1
-                prompt_visible = visible[prompt_idx]
-                if prompt_visible.sum() == 0:
-                    continue
-                pts = bridge[prompt_idx[prompt_visible], :2].astype(np.float32)
-                tasks.append((emb_path, bridge, pts, prompt_cls[prompt_visible]))
-
-            # Stage 2: SAM decodes batched ACROSS frames (SURVEY hard-part
-            # #5; the reference runs set_features + predict per frame,
-            # train_sam_real.py:402-450). Prompt counts pad to power-of-2
-            # buckets so the decoder jit-caches a few shapes.
-            FG = self.sam_frame_batch
-            for i0 in range(0, len(tasks), FG):
-                group = tasks[i0 : i0 + FG]
-                updated = True
-                pmax = max(len(t[2]) for t in group)
-                pmax = max(8, 1 << (pmax - 1).bit_length())
-                F = len(group)
-                embs = np.stack([self._frame_embedding(t[0]) for t in group])
-                pts = np.zeros((F, pmax, 1, 2), np.float32)
-                lbl = -np.ones((F, pmax, 1), np.int32)  # -1 = padding prompt
-                for f, (_, _, p, _) in enumerate(group):
-                    pts[f, : len(p), 0] = p
-                    lbl[f, : len(p)] = 1
-                masks, _ = self.predictor.predict_batch(
-                    embs, pts, lbl, self.frame_size, mask_index=0
-                )
-                for f, (_, bridge, p, cls) in enumerate(group):
-                    vote_masks_for_frame(
-                        masks[f, : len(p), 0], cls, bridge, seg_pred,
-                        confidence, vote, self.conf_thresh,
-                    )
-
-            if updated:
-                sam_result = np.argmax(vote, axis=1)
-                sam_result[vote.sum(1) == 0] = -1
-                reject = (sam_result != seg_pred) | (seg_pred == -1)
-                sam_result[reject] = -1
-                valid = sam_result != -1
-                count_updated += (sam_label[valid] != sam_result[valid]).sum()
-                sam_label[valid] = sam_result[valid]
-                np.save(label_path, sam_label.reshape(-1, 1))
+            with ProcessPoolExecutor(
+                max_workers=workers, mp_context=mp.get_context("fork")
+            ) as pool:
+                results = list(pool.map(
+                    _refine_one_scene,
+                    [(cfg, predictor, k, v) for k, v in basket.items()],
+                    chunksize=1,
+                ))
+        else:
+            results = [
+                _refine_one_scene((cfg, predictor, k, v))
+                for k, v in basket.items()
+            ]
+        for upd, acc in results:
+            count_updated += upd
+            prompt_accuracy_all += acc
 
         metrics = get_miou(
             self.labels_dir, self.data_root, self.num_classes,

@@ -77,20 +77,21 @@ def _slab_geometry(C, N, S):
         return None
     # TQ*S rows of C-lane f32 intermediates live on the kernel's VMEM
     # stack (ao_tpu/__init__.py raises the scoped limit to 24M); TQ
-    # shrinks with C to fit, J (input streams) sized for W=512 curve rows
-    # each side — except C=384 where W=256 keeps the stream count at 17.
-    # AO_SLAB_W overrides the half-window (rounded down to a TQ multiple,
-    # min 1 block) for recall/throughput sweeps.
+    # shrinks with C to fit. The default half-window is W=256 curve rows
+    # each side: measured on the round-4 quality gate, W=256 costs 0.42pt
+    # val mIoU vs W=512 (0.9327 vs 0.9369 on the GT-label proxy) and buys
+    # +22% train throughput (3.37 -> 4.12 scenes/sec/chip). AO_SLAB_W
+    # overrides (rounded down to a TQ multiple, min 1 block), e.g.
+    # AO_SLAB_W=512 restores the wider graph.
     if C <= 96:
-        TQ, J = 128, 9
+        TQ = 128
     elif C <= 192:
-        TQ, J = 64, 17
+        TQ = 64
     else:
-        TQ, J = 32, 17
-    w_env = os.environ.get("AO_SLAB_W")
-    if w_env:
-        blocks = max(int(w_env) // TQ, 1)
-        J = 2 * blocks + 1
+        TQ = 32
+    w_env = int(os.environ.get("AO_SLAB_W", "256"))
+    blocks = max(w_env // TQ, 1)
+    J = 2 * blocks + 1
     W = (J - 1) // 2 * TQ
     # kNN windows sit inside every covering kernel slab; tile_q chosen so
     # window is a 128-multiple (Pallas kNN path needs lane alignment)

@@ -253,7 +253,12 @@ class PP2SPipeline:
                 center = (lo + hi) / 2
                 radius = float(np.linalg.norm((hi - lo)[:2]) / 2) + 1e-3
                 eye_z = lo[2] + 0.8 * (hi[2] - lo[2])
-                frames = []
+                # ring views + two vertical views (straight up from low
+                # centre, straight down from below the ceiling): real
+                # panorama captures see ceilings and floors; a
+                # horizontal-only rig leaves them unprompted and the
+                # big planar classes end up unlabelled
+                rig = []
                 for v in range(views):
                     yaw = 2 * np.pi * v / views
                     eye = np.array([
@@ -261,9 +266,17 @@ class PP2SPipeline:
                         center[1] + 0.35 * radius * np.sin(yaw),
                         eye_z,
                     ])
-                    look = center - eye
+                    rig.append((eye, center, np.array([0.0, 0.0, 1.0])))
+                zlo = np.array([center[0], center[1], lo[2] + 0.25 * (hi[2] - lo[2])])
+                zhi = np.array([center[0], center[1], hi[2] - 0.1 * (hi[2] - lo[2])])
+                rig.append((zlo, zlo + np.array([0.0, 0.0, 1.0]),
+                            np.array([1.0, 0.0, 0.0])))  # up: ceiling
+                rig.append((zhi, zhi - np.array([0.0, 0.0, 1.0]),
+                            np.array([1.0, 0.0, 0.0])))  # down: floor
+                frames = []
+                for v, (eye, target, up) in enumerate(rig):
+                    look = target - eye
                     look = look / (np.linalg.norm(look) + 1e-9)
-                    up = np.array([0.0, 0.0, 1.0])
                     right = np.cross(look, up)
                     right /= np.linalg.norm(right) + 1e-9
                     down = np.cross(look, right)
@@ -306,7 +319,7 @@ class PP2SPipeline:
                 with open(os.path.join(lst_dir, room + ".txt"), "w") as fh:
                     fh.write("\n".join(frame + ".png" for frame in frames))
                 self.logger.info(
-                    f"rendered {views} frames: {area}/{room}"
+                    f"rendered {len(rig)} frames: {area}/{room}"
                 )
 
     # ---- stage 3: weak labels ----

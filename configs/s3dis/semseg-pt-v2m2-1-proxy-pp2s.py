@@ -15,6 +15,6 @@ data = dict(
         weak=True,
         mode="pp2s",
         weak_path="data/ao_proxy/sam_labels",
-        loop=3,
+        loop=10,
     ),
 )

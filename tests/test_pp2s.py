@@ -221,7 +221,7 @@ def test_render_frames_stage(tmp_path):
     pipe.run_render_frames(views=3, size=128, splat=1)
 
     frames = pipe.frames("Area_1", "office_1")
-    assert len(frames) == 3
+    assert len(frames) == 5  # 3 ring views + up/down vertical views
     for frame in frames:
         assert (root / "S2D3D" / "Area_1" / "data" / "rgb"
                 / f"{frame}.png").is_file()

@@ -103,6 +103,8 @@ def main():
     t.epoch = 0
     t._frame_embedding = RealTrainer._frame_embedding
     t._load_embedding = RealTrainer._load_embedding
+    t._refine_cfg = lambda: RealTrainer._refine_cfg(t)
+    t.real_cfg = {}
     if args.sam_oracle:
         from ao_tpu.models.sam import OracleSamPredictor
 
