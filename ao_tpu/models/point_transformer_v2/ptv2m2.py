@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +57,14 @@ _SMALL_N = 1152
 
 def _self_knn(coord, mask, k):
     n = coord.shape[1]
+    if os.environ.get("AO_EXACT_KNN", "0") == "1":
+        # Diagnostic mode: exact tiled O(N^2) kNN at any scale, to isolate
+        # the windowed-search approximation from kernel numerics when
+        # measuring production-path parity (reference semantics:
+        # libs/pointops knn_query_cuda_kernel.cu:60-104).
+        from ao_tpu.ops.knn import knn_query as _exact_knn
+
+        return _exact_knn(k, coord, mask)
     if n <= _SMALL_N:
         # window >= N: the "window" search degenerates to exact kNN
         return knn_self_spatial(
@@ -72,6 +82,9 @@ def _slab_geometry(C, N, S):
     import os
 
     if os.environ.get("AO_GVA_SLAB", "1") == "0":
+        return None
+    if os.environ.get("AO_EXACT_KNN", "0") == "1":
+        # exact-kNN diagnostic graphs are not in-slab by construction
         return None
     if jax.default_backend() != "tpu" or C > 384 or N < 2048:
         return None

@@ -9,9 +9,10 @@ _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 weight = "exp/s3dis/proxy-r4-pp2s/model/model_best.ckpt"
 save_path = "exp/s3dis/proxy-r4-real"
 
-# refinement runs after every epoch -> 8 sam_label/* curve points
-epoch = 8
-eval_epoch = 2
+# refinement runs after every mega-epoch (max_epoch = eval_epoch) ->
+# 8 sam_label/* curve points; loop = epoch // eval_epoch = 3
+epoch = 24
+eval_epoch = 8
 
 real = dict(
     initial_labels="data/ao_proxy/sam_labels",
@@ -29,5 +30,5 @@ real = dict(
 )
 
 data = dict(
-    train=dict(weak=True, mode="real", loop=3),
+    train=dict(weak=True, mode="real"),
 )
