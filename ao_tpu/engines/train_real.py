@@ -405,8 +405,12 @@ class RealTrainer(Trainer):
         self.comm_info["loss_dict"] = {
             k: float(np.asarray(v)) for k, v in metrics.items()
         }
-        # basket fill (reference :231-234): per-scene logits by original row
-        names = extras.get("name") or extras.get("scene_id")
+        # basket fill (reference :231-234): per-scene logits by original
+        # row. Prefer scene_id (the full file path) over name (room
+        # basename only): room names repeat across areas, and the
+        # endswith fallback in _scene_key would silently route e.g.
+        # Area_2/hallway_4 logits into Area_1/hallway_4's basket.
+        names = extras.get("scene_id") or extras.get("name")
         if names is not None:
             logits_np = np.asarray(logits)
             for b, name in enumerate(names):
@@ -420,6 +424,13 @@ class RealTrainer(Trainer):
     def _scene_key(self, name: str) -> str:
         if name in self.basket:
             return name
+        if os.sep in name:
+            # a file path: <root>/<area>/<room>.<ext> -> "<area>/<room>"
+            area = os.path.basename(os.path.dirname(name))
+            room = os.path.splitext(os.path.basename(name))[0]
+            key = f"{area}/{room}"
+            if key in self.basket:
+                return key
         for key in self.basket:
             if key.endswith("/" + name) or key == name:
                 return key

@@ -51,7 +51,12 @@ data = dict(
             dict(type="ToTensor"),
             dict(
                 type="Collect",
-                keys=("coord", "discrete_coord", "segment", "instance", "name"),
+                # scene_id (full path) disambiguates rooms with the same
+                # name across areas in the basket fill
+                keys=(
+                    "coord", "discrete_coord", "segment", "instance",
+                    "name", "scene_id",
+                ),
                 feat_keys=["coord", "color"],
             ),
         ],
