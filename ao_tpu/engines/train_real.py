@@ -299,8 +299,17 @@ class RealTrainer(Trainer):
         self.real_cfg = real_cfg
         labels_src = real_cfg.get("initial_labels", "data/sam_labels")
         self.labels_dir = os.path.join(cfg.save_path, "sam_labels_on_the_fly")
-        if not os.path.isdir(self.labels_dir) and os.path.isdir(labels_src):
-            shutil.copytree(labels_src, self.labels_dir)
+        # A fresh (non-resume) run must start from pristine initial labels:
+        # the refinement loop mutates this directory in place, so reusing a
+        # leftover copy from an earlier run silently trains on whatever
+        # state that run's refinement left behind (r4 postmortem: a stale
+        # dir with 615 floor labels instead of 183k collapsed the class
+        # from epoch 1). Only a resumed run keeps the mutated labels.
+        if os.path.isdir(labels_src):
+            if os.path.isdir(self.labels_dir) and not cfg.get("resume"):
+                shutil.rmtree(self.labels_dir)
+            if not os.path.isdir(self.labels_dir):
+                shutil.copytree(labels_src, self.labels_dir)
         cfg.data.train.weak = True
         cfg.data.train.mode = "real"
         cfg.data.train.weak_path = self.labels_dir

@@ -5,8 +5,9 @@ The reference implementation
 stores parameters as a flat ``state_dict``; this module maps every tensor
 onto the corresponding leaf of our flax module tree
 (``ao_tpu/models/point_transformer_v2/ptv2m2.py``) so reference-trained
-checkpoints load directly. Inverse of none — we never write torch
-checkpoints.
+checkpoints load directly. ``flax_to_torch_state_dict`` is the exact
+inverse, so ao_tpu-trained models export to reference-format consumers
+(and trained-weight parity can be tested in both directions).
 
 Name correspondence (torch -> flax):
 
@@ -182,3 +183,132 @@ def torch_state_dict_to_flax(state_dict, qkv_bias: bool = True):
         for k, v in d.items()
     }
     return {"params": tree(params), "batch_stats": tree(stats)}
+
+
+# --- inverse: flax variables -> reference torch state_dict ---
+
+
+def _get(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node, np.float32)
+
+
+class _Writer:
+    """Emits reference state_dict tensors; mirrors _Loader's bookkeeping."""
+
+    def __init__(self, params, stats):
+        self.params = params
+        self.stats = stats
+        self.out: Dict[str, np.ndarray] = {}
+
+    def dense(self, fpath, tname, bias=True):
+        self.out[tname + ".weight"] = _get(self.params, fpath + ("kernel",)).T
+        if bias:
+            self.out[tname + ".bias"] = _get(self.params, fpath + ("bias",))
+
+    def pbn(self, fpath, tname):
+        self.out[tname + ".norm.weight"] = _get(self.params, fpath + ("scale",))
+        self.out[tname + ".norm.bias"] = _get(self.params, fpath + ("bias",))
+        self.out[tname + ".norm.running_mean"] = _get(self.stats, fpath + ("mean",))
+        self.out[tname + ".norm.running_var"] = _get(self.stats, fpath + ("var",))
+        self.out[tname + ".norm.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def raw(self, tree, fpath, tname, transpose=False):
+        v = _get(tree, fpath)
+        self.out[tname] = v.T if transpose else v
+
+    def has(self, tree, path):
+        node = tree
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        return True
+
+
+def _inv_gva(w: _Writer, t, path, qkv_bias=True):
+    g = path + ("GroupedVectorAttention_0",)
+    w.dense(g + ("Dense_0",), t + ".linear_q.0", qkv_bias)
+    w.pbn(g + ("PointBatchNorm_0",), t + ".linear_q.1")
+    w.dense(g + ("Dense_1",), t + ".linear_k.0", qkv_bias)
+    w.pbn(g + ("PointBatchNorm_1",), t + ".linear_k.1")
+    w.dense(g + ("Dense_2",), t + ".linear_v", qkv_bias)
+    w.raw(w.params, g + ("pe_w1",), t + ".linear_p_bias.0.weight", True)
+    w.raw(w.params, g + ("pe_b1",), t + ".linear_p_bias.0.bias")
+    w.raw(w.params, g + ("pe_bn_scale",), t + ".linear_p_bias.1.norm.weight")
+    w.raw(w.params, g + ("pe_bn_bias",), t + ".linear_p_bias.1.norm.bias")
+    w.raw(w.stats, g + ("pe_bn_mean",), t + ".linear_p_bias.1.norm.running_mean")
+    w.raw(w.stats, g + ("pe_bn_var",), t + ".linear_p_bias.1.norm.running_var")
+    w.out[t + ".linear_p_bias.1.norm.num_batches_tracked"] = np.asarray(0, np.int64)
+    w.raw(w.params, g + ("pe_w2",), t + ".linear_p_bias.3.weight", True)
+    w.raw(w.params, g + ("pe_b2",), t + ".linear_p_bias.3.bias")
+    w.raw(w.params, g + ("we_w1",), t + ".weight_encoding.0.weight", True)
+    w.raw(w.params, g + ("we_b1",), t + ".weight_encoding.0.bias")
+    w.raw(w.params, g + ("we_bn_scale",), t + ".weight_encoding.1.norm.weight")
+    w.raw(w.params, g + ("we_bn_bias",), t + ".weight_encoding.1.norm.bias")
+    w.raw(w.stats, g + ("we_bn_mean",), t + ".weight_encoding.1.norm.running_mean")
+    w.raw(w.stats, g + ("we_bn_var",), t + ".weight_encoding.1.norm.running_var")
+    w.out[t + ".weight_encoding.1.norm.num_batches_tracked"] = np.asarray(0, np.int64)
+    w.raw(w.params, g + ("we_w2",), t + ".weight_encoding.3.weight", True)
+    w.raw(w.params, g + ("we_b2",), t + ".weight_encoding.3.bias")
+
+
+def _inv_block(w: _Writer, t, path, qkv_bias=True):
+    w.dense(path + ("Dense_0",), t + ".fc1", bias=False)
+    w.pbn(path + ("PointBatchNorm_0",), t + ".norm1")
+    _inv_gva(w, t + ".attn", path, qkv_bias)
+    w.pbn(path + ("PointBatchNorm_1",), t + ".norm2")
+    w.dense(path + ("Dense_1",), t + ".fc3", bias=False)
+    w.pbn(path + ("PointBatchNorm_2",), t + ".norm3")
+
+
+def _inv_block_seq(w: _Writer, t, path, qkv_bias=True):
+    j = 0
+    while w.has(w.params, path + (f"Block_{j}",)):
+        _inv_block(w, f"{t}.blocks.{j}", path + (f"Block_{j}",), qkv_bias)
+        j += 1
+    if j == 0:
+        raise KeyError(f"no blocks under flax path {path}")
+
+
+def flax_to_torch_state_dict(variables, qkv_bias: bool = True):
+    """Exact inverse of :func:`torch_state_dict_to_flax`: map ao_tpu flax
+    ``{params, batch_stats}`` (backbone subtree) onto a reference PT-v2m2
+    ``state_dict`` (numpy arrays; wrap with ``torch.from_numpy`` to load).
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if "backbone" in params:  # DefaultSegmentor wrapper
+        params = params["backbone"]
+        stats = stats.get("backbone", stats)
+    w = _Writer(params, stats)
+
+    w.dense(("Dense_0",), "patch_embed.proj.0", bias=False)
+    w.pbn(("PointBatchNorm_0",), "patch_embed.proj.1")
+    _inv_block_seq(w, "patch_embed.blocks", ("patch_embed",), qkv_bias)
+
+    i = 0
+    while w.has(w.params, (f"enc{i}_pool",)):
+        w.dense((f"enc{i}_pool", "Dense_0"), f"enc_stages.{i}.down.fc",
+                bias=False)
+        w.pbn((f"enc{i}_pool", "PointBatchNorm_0"), f"enc_stages.{i}.down.norm")
+        _inv_block_seq(w, f"enc_stages.{i}.blocks", (f"enc{i}_blocks",),
+                       qkv_bias)
+        w.dense((f"dec{i}_up", "Dense_0"), f"dec_stages.{i}.up.proj.0")
+        w.pbn((f"dec{i}_up", "PointBatchNorm_0"), f"dec_stages.{i}.up.proj.1")
+        w.dense((f"dec{i}_up", "Dense_1"), f"dec_stages.{i}.up.proj_skip.0")
+        w.pbn((f"dec{i}_up", "PointBatchNorm_1"),
+              f"dec_stages.{i}.up.proj_skip.1")
+        _inv_block_seq(w, f"dec_stages.{i}.blocks", (f"dec{i}_blocks",),
+                       qkv_bias)
+        i += 1
+    if i == 0:
+        raise KeyError("no enc stages in flax params")
+
+    if w.has(w.params, ("Dense_1",)):
+        w.dense(("Dense_1",), "seg_head.0")
+        w.pbn(("PointBatchNorm_1",), "seg_head.1")
+        w.dense(("Dense_2",), "seg_head.3")
+    return w.out

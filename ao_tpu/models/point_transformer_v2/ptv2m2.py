@@ -232,6 +232,13 @@ class GroupedVectorAttention(nn.Module):
         )
 
         B, N = mask.shape
+        # Stages small enough that a valid query may have fewer than S
+        # valid neighbours take the unfused path: it reproduces the torch
+        # reference's pad semantics exactly (softmax over pad slots, no
+        # renorm — gva_reference pad_mode="reference"), which the Pallas
+        # kernels do not model. At production scale every stage has far
+        # more than S points, so the kernels never see such pads.
+        fused = fused and N >= 64
         S = idx.shape[-1]
         bf = jnp.bfloat16
         coord6 = _gvaf.pack_coords(coord)
@@ -243,14 +250,25 @@ class GroupedVectorAttention(nn.Module):
                 (Wp1, bp1, gp, bp, Wp2, bp2), wparams,
             )
         # merged gather: k | v | packed coords fetch in one row (gathers are
-        # row-count-bound on TPU — extra lanes are free)
+        # row-count-bound on TPU — extra lanes are free). Rows are bf16 only
+        # when the fused TPU kernel consumes them or bf16 compute was asked
+        # for; the unfused f32 path must NOT round activations to bf16 (that
+        # silently cost ~0.5%/block and broke trained-weight parity — the
+        # packed hi|lo coords are lossless under the f32 cast either way).
+        row_dt = bf if (fused or self.dtype == jnp.bfloat16) else jnp.float32
         src = jnp.concatenate(
-            [k.astype(bf), v.astype(bf), coord6], axis=-1
+            [k.astype(row_dt), v.astype(row_dt), coord6.astype(row_dt)],
+            axis=-1,
         )
         kv_g = grouping(src, idx)  # no zeroing; invalid slots masked inside
         kvp = kv_g.reshape(B, N * S, 2 * C + 6)
         qrow = jnp.concatenate(
-            [q.astype(bf), coord6, mask[..., None].astype(bf)], axis=-1
+            [
+                q.astype(row_dt),
+                coord6.astype(row_dt),
+                mask[..., None].astype(row_dt),
+            ],
+            axis=-1,
         )
         validb = idx_valid.astype(bf)
         # kernel query-tile size: VMEM per tile scales with TQ*S*C — shrink
@@ -284,7 +302,7 @@ class GroupedVectorAttention(nn.Module):
                 out, _, _ = _gvaf.gva_reference(
                     kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
                     None, S, C, G, dtype=self.dtype or jnp.float32,
-                    running_p=rp, running_w=rw,
+                    running_p=rp, running_w=rw, pad_mode="reference",
                 )
         elif fused:
             out, (mu_w, var_w, n_w), (mu_p, var_p, n_p) = _gvaf.gva_core(
@@ -297,6 +315,7 @@ class GroupedVectorAttention(nn.Module):
             out, (mu_w, var_w, n_w), (mu_p, var_p, n_p) = _gvaf.gva_reference(
                 kvp, qrow, validb, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
                 pos_moments, S, C, G, dtype=self.dtype or jnp.float32,
+                pad_mode="reference",
             )
             self._update_bn(pe_mean, pe_var, mu_p, var_p, n_p)
             self._update_bn(we_mean, we_var, mu_w, var_w, n_w)

@@ -715,10 +715,25 @@ gva_core.defvjp(_fwd_vjp, _bwd_vjp)
 
 def gva_reference(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
                   pos_moments, S, C, G, dtype=jnp.bfloat16,
-                  running_p=None, running_w=None):
+                  running_p=None, running_w=None, pad_mode="renorm"):
     """Unfused jnp composition on the same packed rows. With running_p /
     running_w given, both BNs normalise with those (eval mode) instead of
-    batch statistics."""
+    batch statistics.
+
+    ``pad_mode`` selects the semantics of slots beyond a query's valid
+    neighbour count (only reachable when a stage has fewer than S points):
+
+    * ``"renorm"`` — the kernel semantics: pads are -inf-masked out of the
+      softmax, so valid weights renormalise to 1. Used by the Pallas
+      kernel parity tests (one source of truth for the kernel math).
+    * ``"reference"`` — the torch reference's exact quirk
+      (point_transformer_v2m2_base.py:121-125): pads gather the CUDA
+      zero row (k=v=0, sign-masked pos=0), their weight encoding of
+      (-q + peb(0)) participates in the softmax DENOMINATOR, and the
+      weights are zeroed after softmax WITHOUT renormalising. Batch BN
+      moments include the pad slots of valid queries, as torch's
+      unmasked BatchNorm1d does.
+    """
     W1, b1, gw, bw, W2, b2 = wparams
     B, NS, _ = kvp.shape
     N = NS // S
@@ -735,46 +750,54 @@ def gva_reference(kvp, qrow, valid, Wp1, bp1, gp, bp, Wp2, bp2, wparams,
         + qrow[:, :, C + 3:C + 6].astype(jnp.float32)
     )
     mrow = qrow[:, :, C + 6] > 0
+    reference_pads = pad_mode == "reference"
+    if reference_pads:
+        # the CUDA grouping gathers an appended zero row at idx -1
+        k_g = jnp.where(valid[..., None], k_g, 0.0)
+        v_g = jnp.where(valid[..., None], v_g, 0.0)
+        # pad slots of valid queries count in the unmasked torch BN stats
+        stat_m = (mrow[:, :, None] & jnp.ones((1, 1, S), bool))
+    else:
+        stat_m = valid
 
     pos = jnp.where(valid[..., None], pos_k - pos_q[:, :, None, :], 0.0)
-    n_p = jnp.sum(valid.astype(jnp.float32))
+    n_p = jnp.sum(stat_m.astype(jnp.float32))
     if running_p is not None:
         A, cA = _fold_pe_running(Wp1, bp1, gp, bp, *running_p)
         mu_p = var_p = None
     else:
         if pos_moments is None:
+            # pad-slot pos rows are exactly 0, so only the count differs
+            # between the two pad modes
             pos_moments = jax.tree_util.tree_map(lax.stop_gradient, (
                 jnp.sum(pos, axis=(0, 1, 2)),
                 jnp.einsum("bnsi,bnsj->ij", pos, pos),
                 n_p,
             ))
         A, cA, mu_p, var_p, _, _ = _fold_pe(Wp1, bp1, gp, bp, pos_moments)
-    pe0 = jnp.where(
-        valid[..., None],
-        (pos.astype(dtype) @ A.astype(dtype)).astype(jnp.float32) + cA,
-        0.0,
-    )
+    pe0 = (pos.astype(dtype) @ A.astype(dtype)).astype(jnp.float32) + cA
+    if not reference_pads:
+        pe0 = jnp.where(valid[..., None], pe0, 0.0)
     pe1 = jnp.maximum(pe0, 0.0)
     peb = (pe1.astype(dtype) @ Wp2.astype(dtype)).astype(jnp.float32) + bp2
 
     r = k_g - q[:, :, None, :] + peb
     v2 = v_g + peb
     t1 = (r.astype(dtype) @ W1.astype(dtype)).astype(jnp.float32) + b1
-    m = valid.astype(jnp.float32)[..., None]
+    m = stat_m.astype(jnp.float32)[..., None]
     n = jnp.maximum(jnp.sum(m), 1.0)
     if running_w is not None:
         mu_w, var_w = running_w
     else:
         mu_w = jnp.sum(t1 * m, axis=(0, 1, 2)) / n
         var_w = jnp.sum(((t1 - mu_w) ** 2) * m, axis=(0, 1, 2)) / n
-    t0 = jnp.where(
-        valid[..., None],
-        (t1 - mu_w) * lax.rsqrt(var_w + _EPS) * gw + bw,
-        0.0,
-    )
+    t0 = (t1 - mu_w) * lax.rsqrt(var_w + _EPS) * gw + bw
+    if not reference_pads:
+        t0 = jnp.where(valid[..., None], t0, 0.0)
     u = jnp.maximum(t0, 0.0)
     w = (u @ W2) + b2
-    w = jnp.where(valid[..., None], w, -jnp.inf)
+    if not reference_pads:
+        w = jnp.where(valid[..., None], w, -jnp.inf)
     w = jax.nn.softmax(w, axis=2)
     w = jnp.where(valid[..., None], w, 0.0)
     v2g = v2.reshape(B, N, S, G, C // G)

@@ -21,15 +21,21 @@ real = dict(
     bridge_root="data/ao_proxy/bridge",
     embedding_root="data/ao_proxy/embeddings",
     sam_oracle=True,
-    oracle_quality=0.85,
+    # SAM ViT-H masks on crisp rendered frames are high-IoU; 0.85 made
+    # update precision (~prompt_acc x mask quality ~ 0.75) barely exceed
+    # the labels' own precision (0.70), so refinement could not rise
+    oracle_quality=0.92,
     frame_size=(512, 512),
     grid_scale=0.5,
     # The reference's 0.9 top1-top2 threshold is calibrated for its
     # 3000-epoch-equivalent schedule; the proxy's 20-epoch model tops out
     # at confidence ~0.83 (99.9th pct), so 0.9 mines ZERO prompts (the
-    # r3 failure). Measured on the stage-B checkpoint: 0.6 yields ~50
-    # prompts/scene at 98% prompt accuracy.
-    conf_thresh=0.6,
+    # r3 failure). Measured on the stage-B checkpoint: 0.6 mines ~50
+    # prompts/scene at 0.89 aggregate accuracy — enough mass to rewrite
+    # 31% of all points in one round and drag labels toward model biases
+    # (mIoU fell 0.26 -> 0.18 over 4 rounds). 0.7 mines ~27/scene at
+    # 0.96, the selectivity regime where the reference's curve rises.
+    conf_thresh=0.7,
     sam_frame_batch=4,
     eval_areas=("Area_1",),
 )

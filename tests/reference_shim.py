@@ -52,9 +52,14 @@ def _install_shims():
                 d, i = d[:, None], i[:, None]
             idx[s_q:e_q, :k] = i + s_k
             dist[s_q:e_q, :k] = d
-            if k < nsample:  # CUDA pads by repeating; parity data never hits this
-                idx[s_q:e_q, k:] = idx[s_q:e_q, k - 1 : k]
-                dist[s_q:e_q, k:] = dist[s_q:e_q, k - 1 : k]
+            if k < nsample:
+                # CUDA heap init: best_idx=-1 / best_dist=1e10 stay in
+                # place when the segment has fewer than nsample points
+                # (knn_query_cuda_kernel.cu:83-87); ascending heap_sort
+                # leaves the pads at the tail. The model's sign(idx+1)
+                # mask then EXCLUDES them from attention softmax.
+                idx[s_q:e_q, k:] = -1
+                dist[s_q:e_q, k:] = 1e5  # sqrt(1e10)
             s_k, s_q = e_k, e_q
         return (
             torch.from_numpy(idx.astype(np.int64)).int(),
@@ -222,6 +227,22 @@ def _install_shims():
     pc.utils = pc_uutils
     sys.modules["pointcept.utils"] = pc_uutils
     sys.modules["pointcept.utils.registry"] = pc_registry
+
+    # Every stub needs a real ModuleSpec: transformers (imported later in
+    # the same pytest process by test_sam) probes `timm.__spec__` via
+    # importlib.util.find_spec, which raises ValueError on a sys.modules
+    # entry whose __spec__ is None.
+    for _name, _mod in list(sys.modules.items()):
+        if (
+            isinstance(_mod, types.ModuleType)
+            and getattr(_mod, "__spec__", None) is None
+            and (
+                _name.split(".")[0]
+                in ("pointops", "torch_scatter", "torch_geometric",
+                    "timm", "pointcept")
+            )
+        ):
+            _mod.__spec__ = importlib.machinery.ModuleSpec(_name, None)
 
 
 _REF_CACHE = {}
