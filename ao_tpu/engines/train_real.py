@@ -279,9 +279,14 @@ def _refine_one_scene(args):
     count_updated = 0
     if updated:
         sam_result = np.argmax(vote, axis=1)
-        sam_result[vote.sum(1) == 0] = -1
+        vote_max = vote.max(axis=1)
+        sam_result[vote_max == 0] = -1
         reject = (sam_result != seg_pred) | (seg_pred == -1)
         sam_result[reject] = -1
+        # cross-frame evidence gates (defaults 1/1 = reference :488-512)
+        unlabeled = sam_label == -1
+        sam_result[unlabeled & (vote_max < cfg["vote_min_fill"])] = -1
+        sam_result[~unlabeled & (vote_max < cfg["vote_min_overwrite"])] = -1
         valid = sam_result != -1
         count_updated = int((sam_label[valid] != sam_result[valid]).sum())
         sam_label[valid] = sam_result[valid]
@@ -336,6 +341,16 @@ class RealTrainer(Trainer):
         self.radius_scale = real_cfg.get("radius_scale", 0.33)
         # frames decoded per batched SAM call during refinement
         self.sam_frame_batch = int(real_cfg.get("sam_frame_batch", 4))
+        # Cross-frame evidence gates on the label rewrite. The reference
+        # accepts any nonzero vote (train_sam_real.py:488-512) — that is
+        # the default (1/1). With few views per scene (the rendered-frame
+        # proxy has 6 vs S2D3D's hundreds) a single verified-but-wrong
+        # mask can overwrite oracle-correct labels and the per-round
+        # quality curve erodes; requiring >= vote_min_overwrite agreeing
+        # frames to *change* an existing label (filling unlabeled points
+        # still takes vote_min_fill) keeps each round net-positive.
+        self.vote_min_fill = int(real_cfg.get("vote_min_fill", 1))
+        self.vote_min_overwrite = int(real_cfg.get("vote_min_overwrite", 1))
         self.eval_areas = tuple(real_cfg.get("eval_areas", ("Area_1",)))
 
         self._predictor = None
@@ -472,6 +487,8 @@ class RealTrainer(Trainer):
             radius_scale=self.radius_scale,
             sam_frame_batch=self.sam_frame_batch,
             num_classes=self.num_classes,
+            vote_min_fill=self.vote_min_fill,
+            vote_min_overwrite=self.vote_min_overwrite,
         )
 
     def refine_labels(self, basket: Dict[str, np.ndarray]):

@@ -6,13 +6,24 @@
 # ships no SAM checkpoint).
 _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 
-weight = "exp/s3dis/proxy-r4-pp2s/model/model_best.ckpt"
-save_path = "exp/s3dis/proxy-r4-real"
+weight = "exp/s3dis/proxy-r4b-pp2s/model/model_best.ckpt"
+save_path = "exp/s3dis/proxy-r4b-real"
 
 # refinement runs after every mega-epoch (max_epoch = eval_epoch) ->
-# 8 sam_label/* curve points; loop = epoch // eval_epoch = 3
-epoch = 24
-eval_epoch = 8
+# 10 sam_label/* curve points; loop = epoch // eval_epoch = 3
+epoch = 30
+eval_epoch = 10
+
+# The REAL stage fine-tunes the stage-B model. The inherited schedule
+# (lr 0.006, MultiStepLR milestones at 9%/20%) spends the first ~2
+# epochs at full pre-training LR, which degraded the 0.4162 stage-B
+# model to 0.3603 *before* the first prompt mining (r4 run 1) — prompts
+# and votes then inherit the degraded model's biases and the label
+# curve erodes instead of rising. The reference avoids this only by
+# scale: its mega-epoch is 30 loops x 204 rooms, so the model recovers
+# between refinements. Fine-tune at 1/5 the LR with one late decay.
+optimizer = dict(type="AdamW", lr=0.0012, weight_decay=0.05)
+scheduler = dict(type="MultiStepLR", milestones=[0.6], gamma=0.1)
 
 real = dict(
     initial_labels="data/ao_proxy/sam_labels",
@@ -37,6 +48,14 @@ real = dict(
     # 0.96, the selectivity regime where the reference's curve rises.
     conf_thresh=0.7,
     sam_frame_batch=4,
+    # With only 6 rendered views per room (S2D3D rooms have hundreds of
+    # captures) a single verified-but-wrong oracle mask can flip
+    # oracle-correct labels; r4 run 1 rewrote 1.75M points in round 1 and
+    # the label curve decayed 0.2844 -> 0.2763 over the next rounds.
+    # Changing an existing label now needs 2 agreeing frames; filling an
+    # unlabeled point still takes 1 (reference semantics = 1/1).
+    vote_min_fill=1,
+    vote_min_overwrite=2,
     eval_areas=("Area_1",),
 )
 

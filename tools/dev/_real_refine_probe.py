@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--oracle-quality", type=float, default=0.85)
     ap.add_argument("--frame-size", type=int, default=512)
     ap.add_argument("--conf-thresh", type=float, default=0.9)
+    ap.add_argument("--vote-min-fill", type=int, default=1)
+    ap.add_argument("--vote-min-overwrite", type=int, default=1)
     args = ap.parse_args()
 
     root = args.data_root
@@ -97,6 +99,8 @@ def main():
     t.radius_scale = 0.33
     t.sam_frame_batch = 4
     t.num_classes = args.num_classes
+    t.vote_min_fill = args.vote_min_fill
+    t.vote_min_overwrite = args.vote_min_overwrite
     t.eval_areas = ("Area_1",)
     t.writer = None
     t.logger = get_root_logger()
