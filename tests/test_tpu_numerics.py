@@ -88,3 +88,36 @@ def test_slab_kernels_match_gathered_on_tpu():
     scale = max(np.abs(ro).max(), 1.0)
     assert np.abs(o[:, :N] - ro[:, :N]).max() / scale < 1e-4
     assert float(jnp.abs(sw_[0] - rsw[0]).max()) < 1e-3
+
+
+def test_sam_vit_h_instantiates_at_scale():
+    """SAM at the reference's real scale (ViT-H, 637M params;
+    my_decode_embedding_final.py) must jit and run on the chip: encoder
+    on a 1024^2 frame, decoder on a 16-prompt batch. Guards the scale
+    evidence recorded in ARCHITECTURE.md (177 ms/frame encoder)."""
+    from ao_tpu.models.sam.modeling import SamConfig, SamModel
+    from ao_tpu.models.sam.predictor import SamPredictor
+
+    cfg = SamConfig.vit_h()
+    model = SamModel(cfg)
+    x = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init(r, x, method=model.get_image_embeddings)
+    )(jax.random.PRNGKey(0))
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+    )
+    assert n_params > 600e6, f"vit_h lost parameters: {n_params/1e6:.0f}M"
+    emb = jax.jit(
+        lambda v, im: model.apply(v, im, method=model.get_image_embeddings)
+    )(params, x)
+    emb_arr = np.asarray(jax.tree_util.tree_leaves(emb)[0])
+    assert emb_arr.shape[-3:] == (64, 64, 256)
+
+    pred = SamPredictor(cfg, None)
+    pred.set_features(emb_arr, (1080, 1080))
+    pts = np.asarray(
+        np.random.RandomState(0).rand(16, 1, 2) * 1080, np.float32
+    )
+    masks, scores, _ = pred.predict(pts, np.ones((16, 1), np.int32))
+    assert np.asarray(masks).shape[:2] == (16, 3)
