@@ -98,18 +98,27 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
+    # The headline JSON line prints IMMEDIATELY after the config-faithful
+    # 80k measurement, so a driver timeout during the (optional) 40k
+    # measurement still leaves a parsed headline (round-4 BENCH was
+    # rc=124/parsed=null because both geometries had to finish first).
     sps_80k = measure(3, 81920)
-    sps_40k = measure(3, 40960)
-
     print(json.dumps({
         "metric": "ptv2m2_s3dis_train_scenes_per_sec_per_chip",
         "value": round(sps_80k, 3),
         "unit": "scenes/sec/chip (B=3, N=81920 config-faithful, fwd+bwd+opt)",
         "vs_baseline": round(sps_80k / A100_SCENES_PER_SEC_80K, 3),
-        "secondary_value_40k": round(sps_40k, 3),
-        "secondary_unit": "scenes/sec/chip (B=3, N=40960 average-scene)",
-        "secondary_vs_baseline": round(sps_40k / A100_SCENES_PER_SEC_40K, 3),
-    }))
+    }), flush=True)
+
+    if os.environ.get("AO_BENCH_SKIP_40K"):
+        return
+    sps_40k = measure(3, 40960)
+    print(json.dumps({
+        "metric": "ptv2m2_s3dis_train_scenes_per_sec_per_chip_40k",
+        "value": round(sps_40k, 3),
+        "unit": "scenes/sec/chip (B=3, N=40960 average-scene)",
+        "vs_baseline": round(sps_40k / A100_SCENES_PER_SEC_40K, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":
