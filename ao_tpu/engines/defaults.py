@@ -64,6 +64,17 @@ def default_config_parser(file_path: str, options: dict) -> Config:
 
 
 def default_setup(cfg: Config) -> Config:
+    # Persistent XLA compile cache: production kernels cold-compile in
+    # minutes (see ARCHITECTURE.md compile budget), so every entry point
+    # shares one on-disk cache keyed by HLO — a reconfigured rerun or the
+    # bench driver then reuses the training run's executables.
+    cache_dir = os.environ.get("AO_COMPILE_CACHE",
+                               "/root/.cache/jax_comp_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # pragma: no cover - older jax without the flag
+        pass
     os.environ.setdefault("AO_PROCESS_INDEX", str(jax.process_index()))
     logger = get_root_logger(process_index=jax.process_index())
     logger.info(

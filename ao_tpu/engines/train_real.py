@@ -349,8 +349,11 @@ class RealTrainer(Trainer):
         # quality curve erodes; requiring >= vote_min_overwrite agreeing
         # frames to *change* an existing label (filling unlabeled points
         # still takes vote_min_fill) keeps each round net-positive.
-        self.vote_min_fill = int(real_cfg.get("vote_min_fill", 1))
-        self.vote_min_overwrite = int(real_cfg.get("vote_min_overwrite", 1))
+        # clamped to >=1: a 0 gate would rely solely on the vote_max==0
+        # clear above to keep zero-vote points out of the argmax labels
+        self.vote_min_fill = max(1, int(real_cfg.get("vote_min_fill", 1)))
+        self.vote_min_overwrite = max(
+            1, int(real_cfg.get("vote_min_overwrite", 1)))
         self.eval_areas = tuple(real_cfg.get("eval_areas", ("Area_1",)))
 
         self._predictor = None

@@ -223,20 +223,36 @@ class OracleSamPredictor:
             iid = int(cand[0])
         mask = self._inst_mask(id_map, iid, cache)
         d, neighbour = self._probe(id_map, row, col, iid)
-        # interiorness RELATIVE to the instance's apparent size: a real
-        # SAM segments an object from any interior prompt regardless of
-        # how many pixels it covers, and degrades near its boundary.
-        # d0 is only a floor for tiny-on-screen instances.
+        # interiorness RELATIVE to the instance's apparent size, CAPPED
+        # at 1.5*d0: a real SAM segments an object cleanly from any
+        # prompt a couple dozen pixels inside it regardless of object
+        # size, and degrades near its boundary. Without the cap, large
+        # fixtures-bearing surfaces (walls with boards/doors, floors
+        # under furniture) have NO pixel interior enough (0.4*r_inst can
+        # exceed any achievable boundary distance), so their every decode
+        # was corrupted — per-vote paint precision 0.53 on the proxy vs
+        # real SAM's near-1.0 for interior prompts. d0/4 stays the floor
+        # for tiny-on-screen instances.
         r_inst = float(np.sqrt(mask.sum() / np.pi))
-        scale = max(self.d0 / 4.0, 0.4 * r_inst)
+        scale = max(self.d0 / 4.0, min(0.4 * r_inst, 1.5 * self.d0))
         p_good = self.quality * min(1.0, 0.15 + 0.85 * d / scale)
         rng = _prompt_rng(iid, row, col, self.seed)
         iou = float(np.clip(p_good + 0.1 * (rng.random() - 0.5), 0.0, 1.0))
         if rng.random() < p_good:
             return mask, iou
         if neighbour >= 0 and rng.random() < 0.5:
-            # BLEED: merge with the adjacent instance
-            return mask | self._inst_mask(id_map, neighbour, cache), iou
+            # BLEED: merge with the *nearby part* of the adjacent
+            # instance. A real SAM that leaks across a boundary grabs the
+            # touching region of the neighbour, not its whole extent —
+            # unioning the full neighbour mask let one corrupted chair
+            # prompt paint the entire visible floor (and a board prompt
+            # the entire wall), which dominated the pseudo-label
+            # confusion (floor->furniture, wall->fixture classes).
+            from scipy import ndimage
+
+            nb = self._inst_mask(id_map, neighbour, cache)
+            dist = ndimage.distance_transform_edt(~mask)
+            return mask | (nb & (dist <= self.d0)), iou
         # PARTIAL: cut by a half-plane through a point offset from the
         # prompt along a deterministic-random normal
         h, w = id_map.shape

@@ -59,11 +59,17 @@ class PP2SPipeline:
         depth_divisor: float = 512.0,
         sam_oracle: bool = False,
         oracle_quality: float = 0.7,
+        bridge_depth_thresh: float = 0.1,
     ):
         self.data_root = data_root
         self.areas = areas
         self.num_classes = num_classes
         self.depth_divisor = depth_divisor
+        # visibility depth test (reference my_make_bridge_final.py:141
+        # uses 0.1 m on real captures; the synthetic proxy's splat depth
+        # is exact to ~0.004 m surface jitter, and its wall fixtures sit
+        # only 0.03 m proud — the calibrated proxy equivalent is 0.02)
+        self.bridge_depth_thresh = float(bridge_depth_thresh)
         self.logger = get_root_logger()
         self._predictor = None
         self._sam_checkpoint = sam_checkpoint
@@ -215,7 +221,10 @@ class PP2SPipeline:
                     depth = (
                         np.asarray(Image.open(depth_path)) / self.depth_divisor
                     )
-                    bridge = compute_bridge(coord, k, rt, depth)
+                    bridge = compute_bridge(
+                        coord, k, rt, depth,
+                        depth_thresh=self.bridge_depth_thresh,
+                    )
                     if bridge[:, 2].any():
                         np.save(out, bridge)
                 self.logger.info(f"bridges done: {area}/{room}")

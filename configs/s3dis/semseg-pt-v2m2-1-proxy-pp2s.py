@@ -5,7 +5,7 @@
 # the real S3DIS; scale knobs as in semseg-pt-v2m2-1-proxy.py).
 _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 
-save_path = "exp/s3dis/proxy-r4b-pp2s"
+save_path = "exp/s3dis/proxy-r5-pp2s"
 
 # 48 epochs: at 20 the model was still climbing (0.2585 -> 0.2794 over
 # the last four evals) and the REAL loop can only lift labels when the

@@ -6,8 +6,11 @@
 # ships no SAM checkpoint).
 _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 
-weight = "exp/s3dis/proxy-r4b-pp2s/model/model_best.ckpt"
-save_path = "exp/s3dis/proxy-r4b-real"
+# Stage-B starting model: the round-5 48-epoch PP2S run (the round-4
+# checkpoints did not survive the round boundary; the r4 run of the same
+# config reached val mIoU 0.4162 and r5 is expected in the same band).
+weight = "exp/s3dis/proxy-r5-pp2s/model/model_best.ckpt"
+save_path = "exp/s3dis/proxy-r5-real"
 
 # refinement runs after every mega-epoch (max_epoch = eval_epoch) ->
 # 10 sam_label/* curve points; loop = epoch // eval_epoch = 3

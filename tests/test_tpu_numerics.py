@@ -101,8 +101,13 @@ def test_sam_vit_h_instantiates_at_scale():
     cfg = SamConfig.vit_h()
     model = SamModel(cfg)
     x = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    # one FULL init (encoder + decoder) reused by the predictor below —
+    # SamPredictor(cfg, None) would otherwise re-init all 637M params
     params = jax.jit(
-        lambda r: model.init(r, x, method=model.get_image_embeddings)
+        lambda r: model.init(
+            r, x, jnp.zeros((1, 1, 1, 2)), jnp.zeros((1, 1, 1), jnp.int32),
+            True,
+        )
     )(jax.random.PRNGKey(0))
     n_params = sum(
         int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
@@ -114,7 +119,7 @@ def test_sam_vit_h_instantiates_at_scale():
     emb_arr = np.asarray(jax.tree_util.tree_leaves(emb)[0])
     assert emb_arr.shape[-3:] == (64, 64, 256)
 
-    pred = SamPredictor(cfg, None)
+    pred = SamPredictor(cfg, params)
     pred.set_features(emb_arr, (1080, 1080))
     pts = np.asarray(
         np.random.RandomState(0).rand(16, 1, 2) * 1080, np.float32

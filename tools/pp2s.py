@@ -41,6 +41,17 @@ def main():
         "and stage 5 decodes oracle masks from them (models/sam/oracle.py)",
     )
     p.add_argument("--oracle-quality", type=float, default=0.7)
+    p.add_argument(
+        "--render-views", type=int, default=6,
+        help="horizontal viewpoints for the render_frames stage (two "
+        "vertical views are always added); more views = more cross-frame "
+        "vote evidence for the conflict-drop",
+    )
+    p.add_argument(
+        "--bridge-depth-thresh", type=float, default=0.1,
+        help="visibility depth test (reference 0.1 m; 0.02 for the "
+        "synthetic proxy whose splat depth is exact — see pipeline)",
+    )
     args = p.parse_args()
     pipe = PP2SPipeline(
         data_root=args.data_root,
@@ -50,12 +61,16 @@ def main():
         ("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
         sam_oracle=args.sam_oracle,
         oracle_quality=args.oracle_quality,
+        bridge_depth_thresh=args.bridge_depth_thresh,
     )
     fs = (args.frame_size, args.frame_size)
     if args.stage == "all":
         pipe.run_all(frame_size=fs)
     elif args.stage == "sam_labels":
         pipe.run_sam_labels(frame_size=fs)
+    elif args.stage == "render_frames":
+        pipe.run_render_frames(views=args.render_views,
+                               size=args.frame_size)
     else:
         getattr(pipe, f"run_{args.stage}")()
 
