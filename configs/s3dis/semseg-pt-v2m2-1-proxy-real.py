@@ -6,9 +6,10 @@
 # ships no SAM checkpoint).
 _base_ = ["./semseg-pt-v2m2-1-proxy.py"]
 
-# Stage-B starting model: the round-5 48-epoch PP2S run (the round-4
-# checkpoints did not survive the round boundary; the r4 run of the same
-# config reached val mIoU 0.4162 and r5 is expected in the same band).
+# Stage-B starting model: the round-5 48-epoch PP2S run on the round-5
+# labels (mIoU 0.3764 / precision 0.8239) — best val mIoU 0.5390
+# (exp/s3dis/proxy-r5-pp2s; the r4 run on the 0.243-mIoU labels
+# reached 0.4162).
 weight = "exp/s3dis/proxy-r5-pp2s/model/model_best.ckpt"
 save_path = "exp/s3dis/proxy-r5-real"
 
