@@ -280,6 +280,9 @@ def _refine_one_scene(args):
     if updated:
         sam_result = np.argmax(vote, axis=1)
         vote_max = vote.max(axis=1)
+        # load-bearing even with the evidence gates below: a 0/0
+        # vote_min_fill/overwrite config would otherwise admit
+        # zero-vote points as argmax-class (= class 0) labels
         sam_result[vote_max == 0] = -1
         reject = (sam_result != seg_pred) | (seg_pred == -1)
         sam_result[reject] = -1

@@ -64,9 +64,9 @@ for f in range(F):
     right /= np.linalg.norm(right)
     up2 = np.cross(right, fwd)
     rot = np.stack([right, -up2, fwd])
-    rt = np.eye(4)
-    rt[:3, :3] = rot
-    rt[:3, 3] = -rot @ eye
+    rt = np.zeros((3, 4))
+    rt[:, :3] = rot
+    rt[:, 3] = -rot @ eye
     ids, depth = splat_raster(coord, inst, k_mat, rt, (H, W), splat=2,
                               background=-1)
     np.savez(os.path.join(root, "embeddings", area, room, f"f{f}.npz"),
