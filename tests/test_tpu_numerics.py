@@ -61,9 +61,14 @@ def test_knn_cross_spatial_recall_on_tpu():
     assert r > 0.95, f"cross-cloud kNN recall collapsed on TPU: {r}"
 
 
-def test_slab_kernels_match_gathered_on_tpu():
+@pytest.mark.parametrize(
+    "C,G,TQ,J", [(48, 6, 128, 9), (96, 12, 128, 9), (192, 24, 64, 17),
+                 (384, 48, 32, 17)]
+)
+def test_slab_kernels_match_gathered_on_tpu(C, G, TQ, J):
     """Mosaic-lowered slab GVA must match the gathered fused path on the
-    identical graph at a production stage shape (forward bit-near-exact)."""
+    identical graph at every production stage geometry (forward
+    bit-near-exact; recorded sweep: tools/dev/_slab_chip_parity.py)."""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tools.dev._slab_chip_parity import build_case, S
@@ -71,7 +76,7 @@ def test_slab_kernels_match_gathered_on_tpu():
     from ao_tpu.ops.pallas import gva_fused as gf
     from ao_tpu.ops.pallas import gva_slab as gs
 
-    C, G, TQ, J, N = 96, 12, 128, 9, 4096
+    N = 4096
     c = build_case(C, G, TQ, J, N)
     P, gp, bpv, wp = c["P"], c["gp"], c["bpv"], c["wp"]
     ro, rsw, _ = jax.jit(
