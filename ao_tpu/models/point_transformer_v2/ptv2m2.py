@@ -91,9 +91,13 @@ def _slab_geometry(C, N, S):
     # TQ*S rows of C-lane f32 intermediates live on the kernel's VMEM
     # stack (ao_tpu/__init__.py raises the scoped limit to 24M); TQ
     # shrinks with C to fit. The default half-window is W=256 curve rows
-    # each side: measured on the round-4 quality gate, W=256 costs 0.42pt
-    # val mIoU vs W=512 (0.9327 vs 0.9369 on the GT-label proxy) and buys
-    # +22% train throughput (3.37 -> 4.12 scenes/sec/chip). AO_SLAB_W
+    # each side, which buys +22% train throughput (3.37 -> 4.12
+    # scenes/sec/chip) for ~2pt per-stage kNN recall. End-to-end gate
+    # evidence (exp/s3dis/proxy-r5-gate-w256, GT-label proxy at
+    # production defaults): val mIoU 0.9171 at epoch 2 vs the W=512
+    # run's 0.9136 at the same epoch of the identical absolute LR
+    # schedule (exp/s3dis/proxy-r4-slab) — the recall loss does not
+    # translate into a quality loss at matched training. AO_SLAB_W
     # overrides (rounded down to a TQ multiple, min 1 block), e.g.
     # AO_SLAB_W=512 restores the wider graph.
     if C <= 96:
